@@ -1,0 +1,57 @@
+"""NCO / mixer: device int32-DDS path vs the float64 host oracle."""
+
+import numpy as np
+import pytest
+
+from gnss_dsp_tpu.ops import nco
+
+
+@pytest.mark.parametrize(
+    "f,p,n",
+    [
+        (0.01, 0.0, 4096),
+        (-2400.0 / 4096000.0, 0.3, 4096),
+        (0.133416, 0.9, 70000),   # large carrier offset, long block
+        (1e-5, 0.0, 81920),       # 20 ms L2CM-scale block
+    ],
+)
+def test_nco_matches_host_oracle(f, p, n):
+    dev = np.asarray(nco.nco(f, p, n))
+    host = nco.nco_host(f, p, n)
+    # LUT indices agree except possibly at quantization boundaries;
+    # a boundary miss changes the sample by one LUT step (~2*pi/1024).
+    err = np.abs(dev - host)
+    boundary_misses = np.sum(err > 1e-4)
+    assert boundary_misses <= n * 0.005, f"{boundary_misses}/{n} index misses"
+    assert np.max(err) < 2 * np.pi / 1024 + 1e-3
+
+
+def test_nco_unit_modulus():
+    w = np.asarray(nco.nco(0.01, 0.25, 1024))
+    assert np.allclose(np.abs(w), 1.0, atol=1e-6)
+
+
+def test_mix_is_functional_wipeoff(rng):
+    n = 8192
+    f = 1500.0 / 4.096e6
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+    carrier = nco.nco_host(f, 0.0, n).astype(np.complex64)
+    sig = (x * carrier).astype(np.complex64)
+    out = np.asarray(nco.mix(sig, -f, 0.0))
+    # wiping off the same LUT-quantized carrier recovers x up to LUT error
+    assert np.median(np.abs(out - x)) < 0.02
+
+
+def test_boc11_host_square_wave():
+    # at incr = 0.5 chips/sample the subcarrier alternates every sample
+    b = nco.boc11_host(0, 0, 0.5, 8)
+    assert np.array_equal(b, np.array([-1, -1, 1, 1, -1, -1, 1, 1], dtype=float))
+
+
+def test_accum_code_bins():
+    import jax.numpy as jnp
+
+    x = jnp.ones(100, dtype=jnp.complex64)
+    a = np.asarray(nco.accum_code_bins(x, 0.0, 0.1, 10))
+    # 100 samples at 0.1 chip/sample -> each of 10 bins gets 10 samples
+    assert np.allclose(a, 10.0 + 0j)
