@@ -1,0 +1,182 @@
+"""Batched FFT circular-correlation acquisition.
+
+The reference searches one (PRN, doppler) cell at a time inside a process
+pool (acquire-gps-l1.py:18-40,105-108).  Here the whole PRN x doppler x
+code-phase grid is one jit program: a scan over doppler *chunks*, each
+chunk batching [DC] oscillators, [blocks] coherent FFTs and [P, DC]
+correlation surfaces through jnp.fft — XLA maps the elementwise stages
+onto the VPU and batches the FFTs; the PRN axis shards cleanly over a
+device mesh (gnss_dsp_tpu.parallel).
+
+Template variants reproduced (SURVEY.md §2.4 acquisition table):
+  * window = n (circular) or 2n (zero-padded code, sliding data window)
+  * reference waveform optionally multiplied by a BOC(1,1) subcarrier
+  * metric = peak/mean (gps-l1/xona family) or raw peak (all others)
+  * block count: ms, ms//10, ms//20-1, ms//4-1 per signal
+  * FDMA channel frequency offsets folded into the doppler NCO (GLONASS)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gnss_dsp_tpu.models.codes import resample_host
+from gnss_dsp_tpu.ops import nco
+
+
+@dataclass
+class AcqResult:
+    prn: int
+    doppler: float
+    metric: float
+    code_offset: float   # chips
+
+
+def build_code_ffts(sig, prns, n: int, window: int) -> np.ndarray:
+    """Host-side reference waveforms: resample each PRN's code to n samples
+    (one coherent period), apply the BOC(1,1) subcarrier if the template
+    demands it, zero-pad to `window`, FFT.  f64 host math, complex64 out."""
+    table = sig.code_table(tuple(prns))
+    incr = float(sig.code_length) / n
+    c = resample_host(table, 0, 0, incr, n)  # [P, n] f64 ±1
+    if sig.acq_boc_ref:
+        boc = nco.boc11_host(0, 0, incr, n)
+        c = c * boc
+    if window > n:
+        c = np.concatenate([c, np.zeros((c.shape[0], window - n))], axis=1)
+    return np.fft.fft(c, axis=1).astype(np.complex64)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n", "window", "blocks", "peak_mean", "dop_chunk"),
+)
+def grid_search(x, code_ffts, dopp_fixed, dopp_valid,
+                n: int, window: int, blocks: int,
+                peak_mean: bool, dop_chunk: int):
+    """Search the full grid; returns per-PRN (metric, code_idx, dop_idx).
+
+    x          : complex64 [>= (blocks-1)*n + window] internal-rate samples
+    code_ffts  : complex64 [P, window]
+    dopp_fixed : int32 [Dp] per-sample NCO increments (FDMA offset included),
+                 padded to a multiple of dop_chunk
+    dopp_valid : bool [Dp] False on padding entries
+    """
+    P = code_ffts.shape[0]
+    Dp = dopp_fixed.shape[0]
+    n_chunks = Dp // dop_chunk
+    zero_p = jnp.uint32(0)
+
+    def chunk_body(carry, ci):
+        best_metric, best_code, best_dop = carry
+        d0 = ci * dop_chunk
+        df = jax.lax.dynamic_slice(dopp_fixed, (d0,), (dop_chunk,))
+        valid = jax.lax.dynamic_slice(dopp_valid, (d0,), (dop_chunk,))
+        w = jax.vmap(lambda f: nco.nco_fixed(f, zero_p, window))(df)  # [DC, W]
+
+        def block_body(q, b):
+            xb = jax.lax.dynamic_slice(x, (b * n,), (window,))
+            F = jnp.fft.fft(xb[None, :] * w, axis=-1)                 # [DC, W]
+            R = jnp.fft.ifft(code_ffts[:, None, :] * jnp.conj(F)[None, :, :], axis=-1)
+            return q + jnp.abs(R), None                               # [P, DC, W]
+
+        q, _ = jax.lax.scan(
+            block_body,
+            jnp.zeros((P, dop_chunk, window), jnp.float32),
+            jnp.arange(blocks),
+        )
+        peak = jnp.max(q, axis=-1)                                    # [P, DC]
+        code_idx = jnp.argmax(q, axis=-1).astype(jnp.int32)
+        metric = peak / jnp.mean(q, axis=-1) if peak_mean else peak
+        metric = jnp.where(valid[None, :], metric, -jnp.inf)
+
+        ch_best = jnp.argmax(metric, axis=-1)                         # [P]
+        ch_metric = jnp.take_along_axis(metric, ch_best[:, None], 1)[:, 0]
+        ch_code = jnp.take_along_axis(code_idx, ch_best[:, None], 1)[:, 0]
+        upd = ch_metric > best_metric
+        return (
+            jnp.where(upd, ch_metric, best_metric),
+            jnp.where(upd, ch_code, best_code),
+            jnp.where(upd, (d0 + ch_best).astype(jnp.int32), best_dop),
+        ), None
+
+    init = (
+        jnp.full((P,), -jnp.inf, jnp.float32),
+        jnp.zeros((P,), jnp.int32),
+        jnp.zeros((P,), jnp.int32),
+    )
+    (metric, code_idx, dop_idx), _ = jax.lax.scan(
+        chunk_body, init, jnp.arange(n_chunks)
+    )
+    return metric, code_idx, dop_idx
+
+
+def _block_count(sig, ms: int) -> int:
+    if sig.acq_blocks_override:   # b2ad quirk: range(80) (acquire-beidou-b2ad.py:29)
+        return sig.acq_blocks_override
+    coh = sig.acq_coherent_ms
+    if sig.acq_sliding:           # galileo e1: ms//4 - 1 (acquire-galileo-e1b.py:19)
+        return max(int(ms // coh) - 1, 1)
+    if coh > 1 and sig.acq_pad2:  # l2cm: ms//20 - 1 (acquire-gps-l2cm.py:19)
+        return max(int(ms // coh) - 1, 1)
+    if coh > 1:                   # l1c/b1c: ms//10 (acquire-gps-l1cp.py:19)
+        return max(int(ms // coh), 1)
+    return int(ms)
+
+
+def doppler_grid(sig, doppler_search, chan: int = 0):
+    dmin, dmax, dinc = doppler_search
+    dops = np.arange(dmin, dmax, dinc)
+    offs = sig.fdma_hz * chan
+    fixed = np.array(
+        [nco.freq_to_fixed(-(d + offs) / sig.acq_fs) for d in dops], dtype=np.int32
+    )
+    return dops, fixed
+
+
+def acquire_signal(sig, x_int, prns, doppler_search=None, ms: int = 80,
+                   chan: int = 0, dop_chunk: int | None = None):
+    """Run acquisition for one signal over `prns`.
+
+    x_int: complex64 device/numpy array at sig.acq_fs covering >= ms+2 ms.
+    Returns list[AcqResult] in PRN order.
+    """
+    doppler_search = doppler_search or sig.doppler_default
+    n = int(round(sig.acq_fs * sig.acq_coherent_ms / 1000.0))
+    window = 2 * n if (sig.acq_pad2 or sig.acq_sliding) else n
+    blocks = _block_count(sig, ms)
+    dops, fixed = doppler_grid(sig, doppler_search, chan)
+
+    if dop_chunk is None:
+        # keep the per-chunk correlation surface around ~256 MB
+        budget = 256 * 2**20 // (len(prns) * window * 8)
+        dop_chunk = int(np.clip(budget, 1, len(dops)))
+    Dp = -(-len(dops) // dop_chunk) * dop_chunk
+    fixed_p = np.zeros(Dp, np.int32)
+    fixed_p[: len(fixed)] = fixed
+    valid = np.zeros(Dp, bool)
+    valid[: len(fixed)] = True
+
+    code_ffts = build_code_ffts(sig, prns, n, window)
+    metric, code_idx, dop_idx = grid_search(
+        jnp.asarray(x_int), jnp.asarray(code_ffts), jnp.asarray(fixed_p),
+        jnp.asarray(valid), n=n, window=window, blocks=blocks,
+        peak_mean=(sig.acq_metric == "peak_mean"),
+        dop_chunk=dop_chunk,
+    )
+    metric = np.asarray(metric)
+    code_idx = np.asarray(code_idx)
+    dop_idx = np.asarray(dop_idx)
+    out = []
+    for i, prn in enumerate(prns):
+        code = (sig.code_length * float(code_idx[i]) / n) % sig.code_length
+        out.append(AcqResult(
+            prn=prn, doppler=float(dops[dop_idx[i]]),
+            metric=float(metric[i]), code_offset=code,
+        ))
+    return out

@@ -35,6 +35,8 @@ class Signal:
     acq_sliding: bool = False      # 2-block sliding windows (Galileo E1)
     acq_lowpass_hz: float = 1.5e6  # front-end FIR cutoff
     acq_ms_default: int = 80       # --time default
+    acq_metric: str = "peak_mean"  # "peak_mean" (gps-l1/xona) or "peak"
+    acq_blocks_override: int = 0   # b2ad quirk: hardcoded 80 blocks
     doppler_default: tuple = (-7000.0, 7000.0, 200.0)
     fdma_hz: float = 0.0           # doppler grid offset per channel (GLONASS)
 

@@ -1,0 +1,49 @@
+"""Synthetic GNSS IQ generation (host, float64) for tests and benchmarks.
+
+Generates baseband IQ with a known PRN code, code phase, doppler, C/N0 —
+the truth values become assertions for acquisition peaks and tracking
+convergence (the reference has no synthetic tier; SURVEY.md §4 implication 3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def synth_iq(code_pm1: np.ndarray, chip_rate: float, fs: float, n: int,
+             doppler_hz: float = 0.0, code_phase: float = 0.0,
+             carrier_phase: float = 0.0, cn0_dbhz: float | None = 45.0,
+             amplitude: float = 1.0, rng=None,
+             subcarrier: str = "none") -> np.ndarray:
+    """Complex64 [n] baseband samples of one spread-spectrum signal.
+
+    code_phase in chips at sample 0; doppler also scales the code rate
+    (chip_rate * (1 + doppler/f_nominal) is ignored — tests run short
+    enough that code doppler is negligible unless asserted otherwise).
+    cn0_dbhz None => noiseless.
+    """
+    L = len(code_pm1)
+    t = np.arange(n, dtype=np.float64)
+    cp = code_phase + t * (chip_rate / fs)
+    chips = code_pm1[np.floor(cp).astype(np.int64) % L].astype(np.float64)
+    if subcarrier == "boc11":
+        chips = chips * np.where(np.floor(cp * 2).astype(np.int64) % 2 == 0, 1.0, -1.0)
+    carrier = np.exp(2j * np.pi * (carrier_phase + doppler_hz / fs * t))
+    sig = amplitude * chips * carrier
+    if cn0_dbhz is not None:
+        rng = rng or np.random.default_rng(0)
+        # C/N0 = A^2 / (2 sigma^2 / fs)  =>  sigma = A*sqrt(fs/(2*10^(cn0/10)))
+        sigma = amplitude * np.sqrt(fs / (2.0 * 10 ** (cn0_dbhz / 10.0)))
+        sig = sig + sigma * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    return sig.astype(np.complex64)
+
+
+def to_int8_iq(x: np.ndarray, scale: float = 16.0) -> bytes:
+    """Quantize complex samples to the reference's interleaved int8 I/Q
+    stream format (io.py:3-12)."""
+    out = np.empty(2 * len(x), dtype=np.int8)
+    re = np.clip(np.round(np.real(x) * scale), -127, 127)
+    im = np.clip(np.round(np.imag(x) * scale), -127, 127)
+    out[0::2] = re.astype(np.int8)
+    out[1::2] = im.astype(np.int8)
+    return out.tobytes()

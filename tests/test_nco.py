@@ -43,8 +43,11 @@ def test_mix_is_functional_wipeoff(rng):
 
 
 def test_boc11_host_square_wave():
-    # at incr = 0.5 chips/sample the subcarrier alternates every sample
+    # at 0.5 chips/sample one BOC(1,1) cycle spans 2 samples -> alternate each sample
     b = nco.boc11_host(0, 0, 0.5, 8)
+    assert np.array_equal(b, np.array([-1, 1, -1, 1, -1, 1, -1, 1], dtype=float))
+    # at 0.25 chips/sample each half-cycle spans 2 samples
+    b = nco.boc11_host(0, 0, 0.25, 8)
     assert np.array_equal(b, np.array([-1, -1, 1, 1, -1, -1, 1, 1], dtype=float))
 
 
