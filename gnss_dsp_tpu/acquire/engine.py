@@ -3,16 +3,18 @@
 The reference searches one (PRN, doppler) cell at a time inside a process
 pool (acquire-gps-l1.py:18-40,105-108).  Here the whole PRN x doppler x
 code-phase grid is one jit program: a scan over doppler *chunks*, each
-chunk batching [DC] oscillators, [blocks] coherent FFTs and [P, DC]
-correlation surfaces through jnp.fft — XLA maps the elementwise stages
-onto the VPU and batches the FFTs; the PRN axis shards cleanly over a
-device mesh (gnss_dsp_tpu.parallel).
+chunk batching [DC] oscillators, [blocks] coherent transforms and [P, DC]
+correlation surfaces through the MXU matmul-FFT (ops/fft) — the PRN axis
+shards cleanly over a device mesh (gnss_dsp_tpu.parallel).
+
+All device data is split-complex (re, im) f32 (ops/cplx): the axon TPU
+backend has no complex dtype, and split planes are what the MXU/VPU want.
 
 Template variants reproduced (SURVEY.md §2.4 acquisition table):
   * window = n (circular) or 2n (zero-padded code, sliding data window)
   * reference waveform optionally multiplied by a BOC(1,1) subcarrier
   * metric = peak/mean (gps-l1/xona family) or raw peak (all others)
-  * block count: ms, ms//10, ms//20-1, ms//4-1 per signal
+  * block count: ms, ms//10, ms//20-1, ms//4-1 per signal (+ b2ad's 80)
   * FDMA channel frequency offsets folded into the doppler NCO (GLONASS)
 """
 
@@ -26,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from gnss_dsp_tpu.models.codes import resample_host
-from gnss_dsp_tpu.ops import nco
+from gnss_dsp_tpu.ops import cplx, fft, nco
 
 
 @dataclass
@@ -40,7 +42,7 @@ class AcqResult:
 def build_code_ffts(sig, prns, n: int, window: int) -> np.ndarray:
     """Host-side reference waveforms: resample each PRN's code to n samples
     (one coherent period), apply the BOC(1,1) subcarrier if the template
-    demands it, zero-pad to `window`, FFT.  f64 host math, complex64 out."""
+    demands it, zero-pad to `window`, FFT.  f64 host math, complex128 out."""
     table = sig.code_table(tuple(prns))
     incr = float(sig.code_length) / n
     c = resample_host(table, 0, 0, incr, n)  # [P, n] f64 ±1
@@ -49,7 +51,7 @@ def build_code_ffts(sig, prns, n: int, window: int) -> np.ndarray:
         c = c * boc
     if window > n:
         c = np.concatenate([c, np.zeros((c.shape[0], window - n))], axis=1)
-    return np.fft.fft(c, axis=1).astype(np.complex64)
+    return np.fft.fft(c, axis=1)
 
 
 @partial(
@@ -61,29 +63,36 @@ def grid_search(x, code_ffts, dopp_fixed, dopp_valid,
                 peak_mean: bool, dop_chunk: int):
     """Search the full grid; returns per-PRN (metric, code_idx, dop_idx).
 
-    x          : complex64 [>= (blocks-1)*n + window] internal-rate samples
-    code_ffts  : complex64 [P, window]
+    x          : split-complex [>= (blocks-1)*n + window] internal-rate samples
+    code_ffts  : split-complex [P, window]
     dopp_fixed : int32 [Dp] per-sample NCO increments (FDMA offset included),
                  padded to a multiple of dop_chunk
     dopp_valid : bool [Dp] False on padding entries
     """
-    P = code_ffts.shape[0]
+    P = code_ffts[0].shape[0]
     Dp = dopp_fixed.shape[0]
     n_chunks = Dp // dop_chunk
-    zero_p = jnp.uint32(0)
+    zero_p = jnp.zeros((), jnp.uint32)
 
     def chunk_body(carry, ci):
         best_metric, best_code, best_dop = carry
         d0 = ci * dop_chunk
         df = jax.lax.dynamic_slice(dopp_fixed, (d0,), (dop_chunk,))
         valid = jax.lax.dynamic_slice(dopp_valid, (d0,), (dop_chunk,))
-        w = jax.vmap(lambda f: nco.nco_fixed(f, zero_p, window))(df)  # [DC, W]
+        w = jax.vmap(lambda f: nco.nco_split(f, zero_p, window))(df)  # [DC, W]
 
         def block_body(q, b):
-            xb = jax.lax.dynamic_slice(x, (b * n,), (window,))
-            F = jnp.fft.fft(xb[None, :] * w, axis=-1)                 # [DC, W]
-            R = jnp.fft.ifft(code_ffts[:, None, :] * jnp.conj(F)[None, :, :], axis=-1)
-            return q + jnp.abs(R), None                               # [P, DC, W]
+            xb = (
+                jax.lax.dynamic_slice(x[0], (b * n,), (window,)),
+                jax.lax.dynamic_slice(x[1], (b * n,), (window,)),
+            )
+            F = fft.fft(cplx.cmul((xb[0][None, :], xb[1][None, :]), w))  # [DC, W]
+            prod = cplx.cmul_conj(
+                (code_ffts[0][:, None, :], code_ffts[1][:, None, :]),
+                (F[0][None, :, :], F[1][None, :, :]),
+            )
+            R = fft.ifft(prod)                                           # [P, DC, W]
+            return q + cplx.cabs(R), None
 
         q, _ = jax.lax.scan(
             block_body,
@@ -134,8 +143,9 @@ def doppler_grid(sig, doppler_search, chan: int = 0):
     dops = np.arange(dmin, dmax, dinc)
     offs = sig.fdma_hz * chan
     fixed = np.array(
-        [nco.freq_to_fixed(-(d + offs) / sig.acq_fs) for d in dops], dtype=np.int32
-    )
+        [nco.freq_to_fixed(-(d + offs) / sig.acq_fs) for d in dops],
+        dtype=np.int64,
+    ).astype(np.int32)
     return dops, fixed
 
 
@@ -143,7 +153,8 @@ def acquire_signal(sig, x_int, prns, doppler_search=None, ms: int = 80,
                    chan: int = 0, dop_chunk: int | None = None):
     """Run acquisition for one signal over `prns`.
 
-    x_int: complex64 device/numpy array at sig.acq_fs covering >= ms+2 ms.
+    x_int: internal-rate samples covering >= ms+2 ms — host complex array
+    or split-complex pair.
     Returns list[AcqResult] in PRN order.
     """
     doppler_search = doppler_search or sig.doppler_default
@@ -162,10 +173,11 @@ def acquire_signal(sig, x_int, prns, doppler_search=None, ms: int = 80,
     valid = np.zeros(Dp, bool)
     valid[: len(fixed)] = True
 
-    code_ffts = build_code_ffts(sig, prns, n, window)
+    code_ffts = cplx.from_numpy(build_code_ffts(sig, prns, n, window))
+    x = cplx.from_numpy(x_int) if not isinstance(x_int, tuple) else x_int
     metric, code_idx, dop_idx = grid_search(
-        jnp.asarray(x_int), jnp.asarray(code_ffts), jnp.asarray(fixed_p),
-        jnp.asarray(valid), n=n, window=window, blocks=blocks,
+        x, code_ffts, jnp.asarray(fixed_p), jnp.asarray(valid),
+        n=n, window=window, blocks=blocks,
         peak_mean=(sig.acq_metric == "peak_mean"),
         dop_chunk=dop_chunk,
     )

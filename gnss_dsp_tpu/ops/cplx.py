@@ -1,0 +1,90 @@
+"""Split-complex arithmetic: complex arrays as (re, im) float32 pairs.
+
+The axon TPU backend exposes no complex dtype support (no complex
+gather/multiply/FFT), and split representation is the TPU-native choice
+anyway: both planes tile onto the (8,128) VPU lanes and feed the MXU as
+real matmuls.  All device-side code in this package uses (re, im) tuples;
+host boundaries convert with `from_numpy` / `to_numpy`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+C = tuple  # alias for readability: a split-complex value is (re, im)
+
+
+def from_numpy(x: np.ndarray) -> C:
+    x = np.asarray(x)
+    return (
+        jnp.asarray(np.ascontiguousarray(x.real).astype(np.float32)),
+        jnp.asarray(np.ascontiguousarray(x.imag).astype(np.float32)),
+    )
+
+
+def to_numpy(a: C) -> np.ndarray:
+    return np.asarray(a[0]) + 1j * np.asarray(a[1])
+
+
+def zeros(shape, dtype=jnp.float32) -> C:
+    z = jnp.zeros(shape, dtype)
+    return (z, z)
+
+
+def cmul(a: C, b: C) -> C:
+    ar, ai = a
+    br, bi = b
+    return (ar * br - ai * bi, ar * bi + ai * br)
+
+
+def cmul_conj(a: C, b: C) -> C:
+    """a * conj(b)"""
+    ar, ai = a
+    br, bi = b
+    return (ar * br + ai * bi, ai * br - ar * bi)
+
+
+def conj(a: C) -> C:
+    return (a[0], -a[1])
+
+
+def scale(a: C, s) -> C:
+    return (a[0] * s, a[1] * s)
+
+
+def add(a: C, b: C) -> C:
+    return (a[0] + b[0], a[1] + b[1])
+
+
+def cabs2(a: C):
+    return a[0] * a[0] + a[1] * a[1]
+
+
+def cabs(a: C):
+    return jnp.sqrt(cabs2(a))
+
+
+def angle(a: C):
+    return jnp.arctan2(a[1], a[0])
+
+
+def where(pred, a: C, b: C) -> C:
+    return (jnp.where(pred, a[0], b[0]), jnp.where(pred, a[1], b[1]))
+
+
+def reshape(a: C, shape) -> C:
+    return (a[0].reshape(shape), a[1].reshape(shape))
+
+
+def take(a: C, idx, axis=0) -> C:
+    return (jnp.take(a[0], idx, axis=axis), jnp.take(a[1], idx, axis=axis))
+
+
+def sum(a: C, axis=None, where_mask=None) -> C:
+    if where_mask is not None:
+        return (
+            jnp.sum(a[0], axis=axis, where=where_mask),
+            jnp.sum(a[1], axis=axis, where=where_mask),
+        )
+    return (jnp.sum(a[0], axis=axis), jnp.sum(a[1], axis=axis))

@@ -1,0 +1,192 @@
+"""Host driver for the tracking engine: chunked streaming, multi-channel
+batching, row accumulation and reference-format output.
+
+Behavioral contract: track-gps-l1.py:125-180 (single channel, blocking
+reads); here N channels share one device-resident sample chunk, each with
+its own pointer, and the unbounded counters (samp, code_cyc, carrier_cyc)
+are accumulated host-side in int64 from per-block deltas.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from gnss_dsp_tpu.ops import nco
+from gnss_dsp_tpu.track.engine import (
+    TrackParams, init_state, track_scan,
+)
+
+
+@dataclass
+class TrackChannel:
+    prn: int
+    doppler: float
+    code_offset: float
+    carrier_phase: float = 0.0
+    pll_from_start: bool = False   # --carrier-phase given (:135-137)
+    # host-side accumulators
+    samp: int = 0
+    code_cyc: int = 0
+    carrier_cyc: int = 0
+    rows: list = field(default_factory=list)
+
+
+def make_params(sig, fs: float, coffset: float, loop_dwells=(500, 500),
+                pll_from_start: bool = False) -> TrackParams:
+    period_ms = sig.code_period_ms
+    nmax = int(fs * 0.001 * period_ms * 1.5) + 2
+    fw, fn = loop_dwells
+    if pll_from_start:
+        fw = fn = 0
+    return TrackParams(
+        fs=float(fs),
+        chip_rate=float(sig.chip_rate),
+        code_length=int(sig.code_length),
+        carrier_ratio=float(sig.carrier_ratio),
+        el_spacing=float(sig.el_spacing),
+        coffset_df_fixed=int(nco.freq_to_fixed(-coffset / fs)),
+        nmax=nmax,
+        fll_wide_blocks=int(fw),
+        fll_narrow_blocks=int(fn),
+        pll_k1=float(sig.pll_k1),
+        pll_k2=float(sig.pll_k2),
+        code_period_ms=float(period_ms),
+    )
+
+
+def track_file(sig, fp, fs: float, coffset: float, channels,
+               loop_dwells=(500, 500), chunk_ms: float = 2000.0,
+               max_blocks: int | None = None, emit=None):
+    """Track `channels` (list[TrackChannel]) through the stream `fp`.
+
+    emit(channel_index, row_dict) is called once per completed block, in
+    block order per chunk.  Returns the channels (rows accumulated when
+    emit is None).
+    """
+    L = sig.code_length
+    chips_per_sample = sig.chip_rate / fs
+    params = make_params(sig, fs, coffset, loop_dwells,
+                         pll_from_start=all(c.pll_from_start for c in channels))
+
+    # --- alignment to the first code boundary (:141-143), per channel:
+    # the reference discards n0 samples; with a shared stream we keep them
+    # and start each channel's pointer at its own n0.
+    ptr0 = np.zeros(len(channels), np.int32)
+    code_p0 = np.zeros(len(channels), np.float64)
+    for k, ch in enumerate(channels):
+        n0 = int(fs * 0.001 * sig.code_period_ms * (L - ch.code_offset) / L)
+        ptr0[k] = n0
+        code_p0[k] = ch.code_offset + n0 * chips_per_sample
+
+    state = init_state(
+        code_p=code_p0,
+        code_f=np.full(len(channels), sig.chip_rate),
+        carrier_p=np.array([c.carrier_phase for c in channels]),
+        carrier_f=np.array([c.doppler for c in channels]),
+        ptr=ptr0,
+    )
+    code_tab = jnp.asarray(
+        sig.code_table(tuple(c.prn for c in channels)).astype(np.int8)
+    )
+
+    chunk_samples = int(fs * chunk_ms / 1000.0)
+    blocks_per_scan = int(chunk_ms / sig.code_period_ms) + 2
+
+    buf = np.zeros(0, np.complex64)
+    eof = False
+    total_blocks = 0
+    while True:
+        # refill device chunk
+        want = chunk_samples + params.nmax - len(buf)
+        if want > 0 and not eof:
+            raw = fp.read(2 * want)
+            if len(raw) < 2 * want:
+                eof = True
+                raw = raw[: 2 * (len(raw) // 2)]
+            if raw:
+                s = np.frombuffer(raw, np.int8).reshape(-1, 2)
+                xx = np.empty(s.shape[0], np.complex64)
+                xx.real = s[:, 0]
+                xx.imag = s[:, 1]
+                buf = np.concatenate([buf, xx])
+        if len(buf) == 0:
+            break
+
+        nb = blocks_per_scan
+        if max_blocks is not None:
+            nb = min(nb, max_blocks - total_blocks)
+            if nb <= 0:
+                break
+
+        # pad so dynamic_slice(ptr, nmax) is in range for any valid ptr
+        padded = np.concatenate([buf, np.zeros(params.nmax, np.complex64)])
+        x_dev = (
+            jnp.asarray(np.ascontiguousarray(padded.real)),
+            jnp.asarray(np.ascontiguousarray(padded.imag)),
+        )
+        state = state._replace(stalled=jnp.zeros_like(state.stalled))
+        state, rows_f, rows_i = track_scan(
+            x_dev, jnp.int32(len(buf)), code_tab, state, params, nb
+        )
+        rows_f = np.asarray(rows_f)
+        rows_i = np.asarray(rows_i)
+
+        emitted_any = False
+        for b in range(nb):
+            for k, ch in enumerate(channels):
+                n = int(rows_i[b, k, 0])
+                if n == 0:
+                    continue
+                emitted_any = True
+                ch.samp += n
+                ch.carrier_cyc += int(rows_i[b, k, 1])
+                ch.code_cyc += int(rows_i[b, k, 2])
+                f = rows_f[b, k]
+                row = {
+                    "block": int(f[0]), "p_re": float(f[1]), "p_im": float(f[2]),
+                    "carrier_f": float(f[3]), "code_f_offset": float(f[4]),
+                    "phase_deg": float(f[5]), "early": float(f[6]),
+                    "prompt": float(f[7]), "late": float(f[8]),
+                    "code_cyc": ch.code_cyc, "code_p": float(f[9]),
+                    "carrier_cyc": ch.carrier_cyc, "carrier_p": float(f[10]),
+                    "samp": ch.samp,
+                }
+                if emit is not None:
+                    emit(k, row)
+                else:
+                    ch.rows.append(row)
+        total_blocks += nb
+        if max_blocks is not None and total_blocks >= max_blocks:
+            break
+
+        # drop fully-consumed samples, rebase pointers
+        ptrs = np.asarray(state.ptr)
+        consumed = int(ptrs.min())
+        buf = buf[consumed:]
+        state = state._replace(ptr=jnp.asarray(ptrs - consumed, jnp.int32))
+
+        if eof and not emitted_any:
+            break
+    return channels
+
+
+def format_row_14(row: dict) -> str:
+    """The reference 14-column text row (track-gps-l1.py:176-177)."""
+    return "%d %f %f %f %f %f %f %f %f %d %f %d %f %d" % (
+        row["block"], row["p_re"], row["p_im"], row["carrier_f"],
+        row["code_f_offset"], row["phase_deg"], row["early"], row["prompt"],
+        row["late"], row["code_cyc"], row["code_p"], row["carrier_cyc"],
+        row["carrier_p"], row["samp"],
+    )
+
+
+def format_row_9(row: dict) -> str:
+    """The reference 9-column row (e.g. track-galileo-e1b.py:166-167)."""
+    return "%d %f %f %f %f %f %f %f %f" % (
+        row["block"], row["p_re"], row["p_im"], row["carrier_f"],
+        row["code_f_offset"], row["phase_deg"], row["early"], row["prompt"],
+        row["late"],
+    )

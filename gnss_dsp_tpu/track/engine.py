@@ -1,0 +1,255 @@
+"""DLL/FLL/PLL tracking as a jit scan over code-period blocks.
+
+Behavioral contract: track-gps-l1.py:13-94 —
+  per block: carrier wipeoff with running LUT-NCO phase, doppler-aided code
+  rate cf=(code_f+carrier_f/ratio)/fs, three correlations (E/P/L), an
+  FLL_WIDE -> FLL_NARROW -> PLL mode schedule, a normalized-envelope EML
+  DLL, and phase/cycle bookkeeping.
+
+TPU-native re-design:
+  * the reference reads a data-dependent number of samples per block
+    (:160-163); XLA needs static shapes, so each scan step slices NMAX
+    samples at a per-channel pointer and masks i >= n.  NMAX covers the
+    worst case (1.5 code periods).
+  * the per-sample Numba recurrences (nco.mix_, ca.correlate) become
+    vectorized int32-DDS phase grids + code-table gathers + masked dots.
+    The two LUT mixes (carrier offset, carrier NCO) fuse into ONE
+    oscillator evaluation: table[i]*table[j] == table[(i+j) mod 1024]
+    exactly (angle addition on the quantized grid), so the reference's
+    double quantization is preserved with half the work.
+  * all sample data is split-complex (re, im) f32 — this backend has no
+    complex dtype, and split planes vectorize better anyway (ops/cplx).
+  * channels are batched with vmap — throughput comes from the channel
+    axis, not from parallelizing the (inherently sequential) time loop.
+  * loop state is a NamedTuple pytree -> checkpointable, exact-resumable.
+  * unbounded counters (total samples, integer code/carrier cycles) are
+    emitted as small per-block deltas and accumulated host-side in int64,
+    so the device state stays pure f32/int32.
+
+Mode indices: 0=FLL_WIDE, 1=FLL_NARROW, 2=PLL (gains: :50-70).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gnss_dsp_tpu.ops import nco
+from gnss_dsp_tpu.ops import discriminators as disc
+
+# float row layout emitted per block (ints travel separately)
+ROW_FIELDS = (
+    "block", "p_re", "p_im", "carrier_f", "code_f_minus_nominal",
+    "phase_deg", "early", "prompt", "late", "code_p", "carrier_p",
+)
+INT_FIELDS = ("n", "carrier_dcyc", "code_dcyc")
+
+
+class TrackParams(NamedTuple):
+    """Static per-run parameters (python scalars; hashed into the jit key)."""
+    fs: float
+    chip_rate: float
+    code_length: int
+    carrier_ratio: float
+    el_spacing: float
+    coffset_df_fixed: int      # int32 DDS increment for -coffset/fs
+    nmax: int                  # static slice width (>= 1.5 code periods)
+    fll_wide_blocks: int       # mode schedule (--loop-dwells)
+    fll_narrow_blocks: int
+    fll_wide_k: float = 3.0
+    fll_narrow_k: float = 0.8
+    pll_k1: float = 0.1
+    pll_k2: float = 3.5
+    dll_k1: float = 2e-5
+    dll_k2: float = 0.2
+    code_period_ms: float = 1.0
+
+
+class TrackState(NamedTuple):
+    """Per-channel loop state ([C]-shaped leaves under vmap)."""
+    ptr: jnp.ndarray           # int32 sample index into the current chunk
+    code_p: jnp.ndarray        # f32 chips in [0, L)
+    code_f: jnp.ndarray        # f32 Hz
+    carrier_p: jnp.ndarray     # f32 cycles in [0, 1)
+    carrier_f: jnp.ndarray     # f32 Hz
+    coffset_p: jnp.ndarray     # uint32 fixed-point turns
+    prompt1_re: jnp.ndarray    # f32 previous prompt (FLL memory)
+    prompt1_im: jnp.ndarray
+    carrier_e1: jnp.ndarray    # f32 previous PLL error
+    code_e1: jnp.ndarray       # f32 previous DLL error
+    block: jnp.ndarray         # int32 block counter
+    stalled: jnp.ndarray       # bool: ran out of chunk samples
+
+
+def init_state(code_p, code_f, carrier_p, carrier_f, ptr=0) -> TrackState:
+    c = np.shape(np.atleast_1d(code_p))[0]
+
+    def as1(v, dt):
+        a = np.atleast_1d(np.asarray(v))
+        if a.shape[0] != c:
+            a = np.full(c, a[0] if a.shape[0] else 0)
+        return jnp.asarray(a.astype(dt))
+
+    zeros = np.zeros(c)
+    return TrackState(
+        ptr=as1(ptr, np.int32),
+        code_p=as1(code_p, np.float32),
+        code_f=as1(code_f, np.float32),
+        carrier_p=as1(carrier_p, np.float32),
+        carrier_f=as1(carrier_f, np.float32),
+        coffset_p=as1(zeros, np.uint32),
+        prompt1_re=as1(zeros, np.float32),
+        prompt1_im=as1(zeros, np.float32),
+        carrier_e1=as1(zeros, np.float32),
+        code_e1=as1(zeros, np.float32),
+        block=as1(zeros, np.int32),
+        stalled=as1(zeros, bool),
+    )
+
+
+def _mode_of(block, p: TrackParams):
+    """0 until fll_wide_blocks, 1 until +fll_narrow_blocks, then 2
+    (track-gps-l1.py:155-158)."""
+    m = jnp.where(block >= p.fll_wide_blocks, 1, 0)
+    return jnp.where(block >= p.fll_wide_blocks + p.fll_narrow_blocks, 2, m)
+
+
+def _track_block(x_chunk, chunk_len, code_tab, st: TrackState, p: TrackParams):
+    """One code-period block for one channel.
+    Returns (new_state, row_f [11], row_i [3])."""
+    L = float(p.code_length)
+    fs = p.fs
+    samples_per_period = fs * 0.001 * p.code_period_ms
+
+    # --- adaptive block length targeting the next code boundary (:160-163)
+    n_f = jnp.where(
+        st.code_p < L / 2,
+        samples_per_period * (L - st.code_p) / L,
+        samples_per_period * (2 * L - st.code_p) / L,
+    )
+    n = n_f.astype(jnp.int32)
+
+    ok = jnp.logical_and(jnp.logical_not(st.stalled), st.ptr + n <= chunk_len)
+
+    i = jax.lax.broadcasted_iota(jnp.int32, (p.nmax, 1), 0).reshape(p.nmax)
+    mask = i < n
+    xb = (
+        jax.lax.dynamic_slice(x_chunk[0], (st.ptr,), (p.nmax,)),
+        jax.lax.dynamic_slice(x_chunk[1], (st.ptr,), (p.nmax,)),
+    )
+
+    # --- fused double LUT mix: offset NCO x carrier NCO == one LUT angle
+    ph1 = st.coffset_p + (i * jnp.int32(p.coffset_df_fixed)).astype(jnp.uint32)
+    carr_df = nco.freq_to_fixed_jnp(-st.carrier_f / fs)
+    carr_p0 = (jnp.mod(st.carrier_p, 1.0) * jnp.float32(2.0**32)).astype(jnp.uint32)
+    ph2 = carr_p0 + (i * carr_df).astype(jnp.uint32)
+    idx = (
+        jax.lax.shift_right_logical(ph1, np.uint32(22))
+        + jax.lax.shift_right_logical(ph2, np.uint32(22))
+    ).astype(jnp.int32) & (nco.NT - 1)
+    wc, ws = nco.cos_sin_of_idx(idx)
+    xm = (xb[0] * wc - xb[1] * ws, xb[0] * ws + xb[1] * wc)
+
+    # --- carrier phase bookkeeping (:38-42); dcyc counts whole cycles
+    carrier_p_new = st.carrier_p - n.astype(jnp.float32) * st.carrier_f / fs
+    t = jnp.mod(carrier_p_new, 1.0)
+    carrier_dcyc = jnp.round(carrier_p_new - t).astype(jnp.int32)
+    coffset_p_new = st.coffset_p + (n * jnp.int32(p.coffset_df_fixed)).astype(jnp.uint32)
+
+    # --- doppler-aided code rate and E/P/L correlations (:44-48)
+    cf = (st.code_f + st.carrier_f / p.carrier_ratio) / fs   # chips/sample
+
+    def corr(lag_chips):
+        cp0 = jnp.mod(st.code_p + lag_chips, L)
+        cp = jnp.mod(cp0 + i.astype(jnp.float32) * cf, L)
+        cidx = jnp.floor(cp).astype(jnp.int32)
+        chips = jnp.take(code_tab, cidx, axis=0).astype(jnp.float32)
+        chips = jnp.where(mask, chips, 0.0)
+        return jnp.sum(xm[0] * chips), jnp.sum(xm[1] * chips)
+
+    p_early = corr(-p.el_spacing)
+    p_prompt = corr(0.0)
+    p_late = corr(p.el_spacing)
+
+    # --- carrier loop (:50-70); prompt1 only refreshed in FLL modes
+    mode = _mode_of(st.block, p)
+    e_fll = disc.fll_atan(p_prompt, (st.prompt1_re, st.prompt1_im))
+    e_pll = disc.pll_costas(p_prompt)
+    fll_k = jnp.where(mode == 0, p.fll_wide_k, p.fll_narrow_k)
+    carrier_f_new = jnp.where(
+        mode == 2,
+        st.carrier_f + p.pll_k1 * e_pll + p.pll_k2 * (e_pll - st.carrier_e1),
+        st.carrier_f + fll_k * e_fll,
+    )
+    carrier_e1_new = jnp.where(mode == 2, e_pll, st.carrier_e1)
+    prompt1_re_new = jnp.where(mode == 2, st.prompt1_re, p_prompt[0])
+    prompt1_im_new = jnp.where(mode == 2, st.prompt1_im, p_prompt[1])
+
+    # --- code loop: normalized-envelope EML DLL (:74-86)
+    early = jnp.sqrt(p_early[0] ** 2 + p_early[1] ** 2)
+    prompt = jnp.sqrt(p_prompt[0] ** 2 + p_prompt[1] ** 2)
+    late = jnp.sqrt(p_late[0] ** 2 + p_late[1] ** 2)
+    denom = late + early
+    e_dll = jnp.where(denom == 0, 0.0, (late - early) / jnp.where(denom == 0, 1.0, denom))
+    code_f_new = st.code_f + p.dll_k1 * e_dll + p.dll_k2 * (e_dll - st.code_e1)
+
+    # --- code phase advance (:88-92); dcyc counts whole chips (ref quirk:
+    # code_cyc accumulates code_p-t, i.e. multiples of L in chip units)
+    code_p_new = st.code_p + n.astype(jnp.float32) * cf
+    tc = jnp.mod(code_p_new, L)
+    code_dcyc = jnp.round(code_p_new - tc).astype(jnp.int32)
+
+    new = TrackState(
+        ptr=st.ptr + n,
+        code_p=tc,
+        code_f=code_f_new,
+        carrier_p=t,
+        carrier_f=carrier_f_new,
+        coffset_p=coffset_p_new,
+        prompt1_re=prompt1_re_new,
+        prompt1_im=prompt1_im_new,
+        carrier_e1=carrier_e1_new,
+        code_e1=e_dll,
+        block=st.block + 1,
+        stalled=st.stalled,
+    )
+    # freeze the channel if the chunk ran dry (host refills and resumes)
+    new = jax.tree.map(lambda a, b: jnp.where(ok, a, b), new, st)
+    new = new._replace(stalled=jnp.logical_not(ok))
+
+    row_f = jnp.stack([
+        st.block.astype(jnp.float32),
+        p_prompt[0], p_prompt[1],
+        carrier_f_new, code_f_new - p.chip_rate,
+        (180.0 / jnp.pi) * jnp.arctan2(p_prompt[1], p_prompt[0]),
+        early, prompt, late, tc, t,
+    ])
+    row_i = jnp.stack([n, carrier_dcyc, code_dcyc])
+    row_f = jnp.where(ok, row_f, jnp.nan)
+    row_i = jnp.where(ok, row_i, 0)
+    return new, row_f, row_i
+
+
+@partial(jax.jit, static_argnames=("params", "n_blocks"))
+def track_scan(x_chunk, chunk_len, code_tab, state: TrackState,
+               params: TrackParams, n_blocks: int):
+    """Run up to n_blocks tracking blocks for C channels over one device
+    chunk.  x_chunk: split-complex pair; code_tab: int8 [C, L]; state
+    leaves are [C]-shaped.
+
+    Returns (state, rows_f [n_blocks, C, 11], rows_i [n_blocks, C, 3]);
+    rows are NaN/0 once a channel exhausts the chunk (host refills and
+    re-enters)."""
+
+    def step(st, _):
+        new, row_f, row_i = jax.vmap(
+            lambda s, ct: _track_block(x_chunk, chunk_len, ct, s, params)
+        )(st, code_tab)
+        return new, (row_f, row_i)
+
+    state, (rows_f, rows_i) = jax.lax.scan(step, state, None, length=n_blocks)
+    return state, rows_f, rows_i

@@ -14,17 +14,20 @@ def synth_iq(code_pm1: np.ndarray, chip_rate: float, fs: float, n: int,
              doppler_hz: float = 0.0, code_phase: float = 0.0,
              carrier_phase: float = 0.0, cn0_dbhz: float | None = 45.0,
              amplitude: float = 1.0, rng=None,
-             subcarrier: str = "none") -> np.ndarray:
+             subcarrier: str = "none",
+             carrier_ratio: float | None = None) -> np.ndarray:
     """Complex64 [n] baseband samples of one spread-spectrum signal.
 
-    code_phase in chips at sample 0; doppler also scales the code rate
-    (chip_rate * (1 + doppler/f_nominal) is ignored — tests run short
-    enough that code doppler is negligible unless asserted otherwise).
-    cn0_dbhz None => noiseless.
+    code_phase in chips at sample 0.  When carrier_ratio is given (the
+    f_carrier/chip_rate divisor, e.g. 1540 for GPS L1), the code rate is
+    doppler-scaled coherently: chip_rate + doppler/ratio — matching the
+    physics the reference's doppler-aided code NCO assumes
+    (track-gps-l1.py:44).  cn0_dbhz None => noiseless.
     """
     L = len(code_pm1)
     t = np.arange(n, dtype=np.float64)
-    cp = code_phase + t * (chip_rate / fs)
+    eff_chip_rate = chip_rate + (doppler_hz / carrier_ratio if carrier_ratio else 0.0)
+    cp = code_phase + t * (eff_chip_rate / fs)
     chips = code_pm1[np.floor(cp).astype(np.int64) % L].astype(np.float64)
     if subcarrier == "boc11":
         chips = chips * np.where(np.floor(cp * 2).astype(np.int64) % 2 == 0, 1.0, -1.0)

@@ -17,13 +17,21 @@ from gnss_dsp_tpu.ops import nco
 )
 def test_nco_matches_host_oracle(f, p, n):
     dev = np.asarray(nco.nco(f, p, n))
+
+    # exact parity with a host emulation of the uint32 DDS (the same
+    # truncated-increment scheme as the reference's Numba mix_, nco.py:30-38)
+    df = np.int64(nco.freq_to_fixed(f))
+    p0 = np.int64(nco.phase_to_fixed(p))
+    ph = (p0 + np.arange(n, dtype=np.int64) * df) & 0xFFFFFFFF
+    idx = (ph >> 22).astype(np.int64)
+    fixed_oracle = np.exp(2j * np.pi * idx / 1024.0)
+    assert np.max(np.abs(dev - fixed_oracle)) < 1e-5
+
+    # and closeness to the float64 reference nco() (nco.py:6-10): indices can
+    # differ by at most one LUT step, and only where the exact-rational test
+    # frequency lands the phase precisely on a quantization boundary
     host = nco.nco_host(f, p, n)
-    # LUT indices agree except possibly at quantization boundaries;
-    # a boundary miss changes the sample by one LUT step (~2*pi/1024).
-    err = np.abs(dev - host)
-    boundary_misses = np.sum(err > 1e-4)
-    assert boundary_misses <= n * 0.005, f"{boundary_misses}/{n} index misses"
-    assert np.max(err) < 2 * np.pi / 1024 + 1e-3
+    assert np.max(np.abs(dev - host)) < 2 * np.pi / 1024 + 1e-3
 
 
 def test_nco_unit_modulus():
@@ -54,7 +62,8 @@ def test_boc11_host_square_wave():
 def test_accum_code_bins():
     import jax.numpy as jnp
 
-    x = jnp.ones(100, dtype=jnp.complex64)
-    a = np.asarray(nco.accum_code_bins(x, 0.0, 0.1, 10))
+    x = (jnp.ones(100, jnp.float32), jnp.zeros(100, jnp.float32))
+    ar, ai = nco.accum_code_bins(x, 0.0, 0.1, 10)
     # 100 samples at 0.1 chip/sample -> each of 10 bins gets 10 samples
-    assert np.allclose(a, 10.0 + 0j)
+    assert np.allclose(np.asarray(ar), 10.0)
+    assert np.allclose(np.asarray(ai), 0.0)
