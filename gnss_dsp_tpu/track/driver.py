@@ -41,9 +41,14 @@ def make_params(sig, fs: float, coffset: float, loop_dwells=(500, 500),
     fw, fn = loop_dwells
     if pll_from_start:
         fw = fn = 0
+    from gnss_dsp_tpu.utils.twofloat import tf_from_f64
+
+    cf_hi, cf_lo = tf_from_f64(np.float64(sig.chip_rate) / np.float64(fs))
     return TrackParams(
         fs=float(fs),
         chip_rate=float(sig.chip_rate),
+        cf_hi=cf_hi,
+        cf_lo=cf_lo,
         code_length=int(sig.code_length),
         carrier_ratio=float(sig.carrier_ratio),
         el_spacing=float(sig.el_spacing),
@@ -83,7 +88,7 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
 
     state = init_state(
         code_p=code_p0,
-        code_f=np.full(len(channels), sig.chip_rate),
+        code_f_off=np.zeros(len(channels)),
         carrier_p=np.array([c.carrier_phase for c in channels]),
         carrier_f=np.array([c.doppler for c in channels]),
         ptr=ptr0,

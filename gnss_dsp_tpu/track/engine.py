@@ -40,6 +40,7 @@ import jax.numpy as jnp
 
 from gnss_dsp_tpu.ops import nco
 from gnss_dsp_tpu.ops import discriminators as disc
+from gnss_dsp_tpu.utils import twofloat as tf
 
 # float row layout emitted per block (ints travel separately)
 ROW_FIELDS = (
@@ -53,6 +54,8 @@ class TrackParams(NamedTuple):
     """Static per-run parameters (python scalars; hashed into the jit key)."""
     fs: float
     chip_rate: float
+    cf_hi: float               # chip_rate/fs split to double-f32 (hi part)
+    cf_lo: float               # ... lo part: f32 alone biases the code phase
     code_length: int
     carrier_ratio: float
     el_spacing: float
@@ -72,8 +75,11 @@ class TrackParams(NamedTuple):
 class TrackState(NamedTuple):
     """Per-channel loop state ([C]-shaped leaves under vmap)."""
     ptr: jnp.ndarray           # int32 sample index into the current chunk
-    code_p: jnp.ndarray        # f32 chips in [0, L)
-    code_f: jnp.ndarray        # f32 Hz
+    code_p_hi: jnp.ndarray     # two-float chips in [0, L): f32 alone cannot
+    code_p_lo: jnp.ndarray     # ... hold sub-1e-4-chip precision at ~1023
+    code_f_off: jnp.ndarray    # f32 Hz offset from nominal chip_rate (f32 at
+                               # 1.023e6 has 0.0625 Hz steps — the DLL's 1e-6 Hz
+                               # corrections would vanish in absolute form)
     carrier_p: jnp.ndarray     # f32 cycles in [0, 1)
     carrier_f: jnp.ndarray     # f32 Hz
     coffset_p: jnp.ndarray     # uint32 fixed-point turns
@@ -85,7 +91,7 @@ class TrackState(NamedTuple):
     stalled: jnp.ndarray       # bool: ran out of chunk samples
 
 
-def init_state(code_p, code_f, carrier_p, carrier_f, ptr=0) -> TrackState:
+def init_state(code_p, code_f_off, carrier_p, carrier_f, ptr=0) -> TrackState:
     c = np.shape(np.atleast_1d(code_p))[0]
 
     def as1(v, dt):
@@ -95,10 +101,14 @@ def init_state(code_p, code_f, carrier_p, carrier_f, ptr=0) -> TrackState:
         return jnp.asarray(a.astype(dt))
 
     zeros = np.zeros(c)
+    code_p64 = np.atleast_1d(np.asarray(code_p, np.float64))
+    cp_hi = code_p64.astype(np.float32)
+    cp_lo = (code_p64 - cp_hi.astype(np.float64)).astype(np.float32)
     return TrackState(
         ptr=as1(ptr, np.int32),
-        code_p=as1(code_p, np.float32),
-        code_f=as1(code_f, np.float32),
+        code_p_hi=as1(cp_hi, np.float32),
+        code_p_lo=as1(cp_lo, np.float32),
+        code_f_off=as1(code_f_off, np.float32),
         carrier_p=as1(carrier_p, np.float32),
         carrier_f=as1(carrier_f, np.float32),
         coffset_p=as1(zeros, np.uint32),
@@ -126,10 +136,11 @@ def _track_block(x_chunk, chunk_len, code_tab, st: TrackState, p: TrackParams):
     samples_per_period = fs * 0.001 * p.code_period_ms
 
     # --- adaptive block length targeting the next code boundary (:160-163)
+    code_p = st.code_p_hi + st.code_p_lo
     n_f = jnp.where(
-        st.code_p < L / 2,
-        samples_per_period * (L - st.code_p) / L,
-        samples_per_period * (2 * L - st.code_p) / L,
+        code_p < L / 2,
+        samples_per_period * (L - code_p) / L,
+        samples_per_period * (2 * L - code_p) / L,
     )
     n = n_f.astype(jnp.int32)
 
@@ -160,11 +171,13 @@ def _track_block(x_chunk, chunk_len, code_tab, st: TrackState, p: TrackParams):
     carrier_dcyc = jnp.round(carrier_p_new - t).astype(jnp.int32)
     coffset_p_new = st.coffset_p + (n * jnp.int32(p.coffset_df_fixed)).astype(jnp.uint32)
 
-    # --- doppler-aided code rate and E/P/L correlations (:44-48)
-    cf = (st.code_f + st.carrier_f / p.carrier_ratio) / fs   # chips/sample
+    # --- doppler-aided code rate and E/P/L correlations (:44-48):
+    # cf = (code_f + carrier_f/ratio)/fs, split as exact base + dynamic part
+    cf_dyn = (st.code_f_off + st.carrier_f / p.carrier_ratio) / fs
+    cf = jnp.float32(p.cf_hi) + cf_dyn                       # chips/sample
 
     def corr(lag_chips):
-        cp0 = jnp.mod(st.code_p + lag_chips, L)
+        cp0 = jnp.mod(code_p + lag_chips, L)
         cp = jnp.mod(cp0 + i.astype(jnp.float32) * cf, L)
         cidx = jnp.floor(cp).astype(jnp.int32)
         chips = jnp.take(code_tab, cidx, axis=0).astype(jnp.float32)
@@ -195,18 +208,24 @@ def _track_block(x_chunk, chunk_len, code_tab, st: TrackState, p: TrackParams):
     late = jnp.sqrt(p_late[0] ** 2 + p_late[1] ** 2)
     denom = late + early
     e_dll = jnp.where(denom == 0, 0.0, (late - early) / jnp.where(denom == 0, 1.0, denom))
-    code_f_new = st.code_f + p.dll_k1 * e_dll + p.dll_k2 * (e_dll - st.code_e1)
+    code_f_off_new = st.code_f_off + p.dll_k1 * e_dll + p.dll_k2 * (e_dll - st.code_e1)
 
-    # --- code phase advance (:88-92); dcyc counts whole chips (ref quirk:
-    # code_cyc accumulates code_p-t, i.e. multiples of L in chip units)
-    code_p_new = st.code_p + n.astype(jnp.float32) * cf
-    tc = jnp.mod(code_p_new, L)
-    code_dcyc = jnp.round(code_p_new - tc).astype(jnp.int32)
+    # --- code phase advance (:88-92) in two-float so per-block f32 rounding
+    # of n*cf (~1e-4 chips) cannot accumulate into a phase bias; dcyc counts
+    # whole chips (ref quirk: code_cyc sums code_p-t, multiples of L)
+    n_f = n.astype(jnp.float32)
+    adv = tf.tf_mul_f((jnp.float32(p.cf_hi), jnp.float32(p.cf_lo)), n_f)
+    adv = tf.tf_add_f(adv, n_f * cf_dyn)
+    cp_new = tf.tf_add((st.code_p_hi, st.code_p_lo), adv)
+    (cp_hi, cp_lo), wraps = tf.tf_mod(cp_new, L)
+    tc = cp_hi + cp_lo
+    code_dcyc = (wraps * L).astype(jnp.int32)
 
     new = TrackState(
         ptr=st.ptr + n,
-        code_p=tc,
-        code_f=code_f_new,
+        code_p_hi=cp_hi,
+        code_p_lo=cp_lo,
+        code_f_off=code_f_off_new,
         carrier_p=t,
         carrier_f=carrier_f_new,
         coffset_p=coffset_p_new,
@@ -224,7 +243,7 @@ def _track_block(x_chunk, chunk_len, code_tab, st: TrackState, p: TrackParams):
     row_f = jnp.stack([
         st.block.astype(jnp.float32),
         p_prompt[0], p_prompt[1],
-        carrier_f_new, code_f_new - p.chip_rate,
+        carrier_f_new, code_f_off_new,
         (180.0 / jnp.pi) * jnp.arctan2(p_prompt[1], p_prompt[0]),
         early, prompt, late, tc, t,
     ])
