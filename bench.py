@@ -1,0 +1,133 @@
+"""Benchmark: GPS L1 C/A full sky search on one chip vs the reference.
+
+Workload (BASELINE.json config 2): 32 PRNs x 70 doppler bins (+-7 kHz /
+200 Hz) x 80 non-coherent 1-ms blocks at the reference's 4.096 MHz
+internal rate (n = 4096 code-phase bins) — the exact grid
+acquire-gps-l1.py searches over a process pool.
+
+Metric: search-cells/s, cells = PRNs x dopplers x code-phase bins x
+blocks.  vs_baseline = ratio to the reference algorithm measured live on
+this host's CPU (single core, numpy FFT path — numba is not installed so
+the reference's own fallback shim would run this same numpy code; its
+acquisition hot loop is FFT-bound either way, SURVEY.md §3.1).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def synth_sky(sig, fs: float, n: int) -> np.ndarray:
+    """A few live PRNs + noise, so the search has real peaks to find."""
+    from gnss_dsp_tpu.utils.synth import synth_iq
+
+    rng = np.random.default_rng(7)
+    x = np.zeros(n, np.complex64)
+    for prn, dop, cp in ((5, 2400.0, 101.25), (12, -3800.0, 512.0),
+                         (21, 900.0, 887.5)):
+        code = sig.code_table((prn,))[0]
+        x += synth_iq(code, sig.chip_rate, fs, n, doppler_hz=dop,
+                      code_phase=cp, cn0_dbhz=None,
+                      carrier_ratio=sig.carrier_ratio)
+    x += (0.5 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+          ).astype(np.complex64)
+    return x
+
+
+def bench_tpu(sig, x, prns, dops_cfg, ms):
+    import jax
+    import jax.numpy as jnp
+
+    from gnss_dsp_tpu.acquire import engine as eng
+    from gnss_dsp_tpu.ops import cplx
+
+    n = int(round(sig.acq_fs * sig.acq_coherent_ms / 1000.0))
+    window = n
+    blocks = ms
+    dops, fixed = eng.doppler_grid(sig, dops_cfg)
+    D = len(dops)
+    dop_chunk = D  # [32, 70, 4096] f32 grid = 37 MB — one chunk
+    code_ffts = cplx.from_numpy(eng.build_code_ffts(sig, prns, n, window))
+    xs = cplx.from_numpy(x)
+    fixed_j = jnp.asarray(fixed)
+    valid_j = jnp.ones(D, bool)
+
+    def run():
+        return eng.grid_search(
+            xs, code_ffts, fixed_j, valid_j, n=n, window=window,
+            blocks=blocks, peak_mean=True, dop_chunk=dop_chunk,
+        )
+
+    out = run()
+    jax.block_until_ready(out)          # compile + warmup
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = run()
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    cells = len(prns) * D * window * blocks
+    return cells / dt, out, dops, n
+
+
+def bench_reference_numpy(sig, x, ms) -> float:
+    """The reference search() algorithm (acquire-gps-l1.py:18-40),
+    re-implemented from its behavioral contract: per doppler bin, wipe off
+    the carrier, then ms x (FFT -> conj-multiply vs code FFT -> IFFT ->
+    |.| accumulate).  Timed on 1 PRN x 8 bins and scaled by cells."""
+    from gnss_dsp_tpu.models.codes import resample_host
+
+    n = int(round(sig.acq_fs * sig.acq_coherent_ms / 1000.0))
+    fs = sig.acq_fs
+    code = sig.code_table((1,))[0]
+    c = resample_host(code, 0, 0, sig.code_length / n, n)
+    C = np.conj(np.fft.fft(c))
+    dops = np.arange(-800.0, 800.0, 200.0)
+    t0 = time.perf_counter()
+    for dop in dops:
+        w = np.exp(-2j * np.pi * dop / fs * np.arange(n * ms))
+        xw = x[: n * ms] * w
+        q = np.zeros(n)
+        for b in range(ms):
+            xb = xw[b * n: (b + 1) * n]
+            q += np.abs(np.fft.ifft(C * np.fft.fft(xb)))
+        _ = q.max() / q.mean()
+    dt = time.perf_counter() - t0
+    cells = 1 * len(dops) * n * ms
+    return cells / dt
+
+
+def main():
+    from gnss_dsp_tpu.models import get_signal
+
+    sig = get_signal("gps-l1")
+    ms = 80
+    prns = tuple(range(1, 33))
+    fs = sig.acq_fs
+    x = synth_sky(sig, fs, (ms + 1) * int(fs / 1000))
+
+    tpu_cells_s, (metric, code_idx, dop_idx), dops, n = bench_tpu(
+        sig, x, prns, (-7000.0, 7000.0, 200.0), ms
+    )
+    # sanity: the planted PRNs must be the top metrics at the right cells
+    m = np.asarray(metric)
+    top = set(int(p) for p in np.argsort(m)[-3:] + 1)
+    assert top == {5, 12, 21}, (top, m.max())
+
+    ref_cells_s = bench_reference_numpy(sig, x, ms)
+
+    print(json.dumps({
+        "metric": "gps_l1_sky_search_cells_per_s",
+        "value": round(tpu_cells_s, 1),
+        "unit": "search-cells/s (32 PRN x 70 doppler x 4096 x 80 blocks)",
+        "vs_baseline": round(tpu_cells_s / ref_cells_s, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

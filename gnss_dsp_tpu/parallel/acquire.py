@@ -1,0 +1,173 @@
+"""Sharded acquisition: the full PRN x doppler x code-phase search over a
+(sat, time) device mesh.
+
+Mapping (SURVEY.md §2.5): the PRN axis shards like data parallelism (each
+chip owns P/nsat reference-code FFTs and their correlation surfaces); the
+non-coherent block sum — the reference's `q += abs(r)` loop
+(acquire-gps-l1.py:30-33) — becomes a `psum` over the `time` axis; the
+per-PRN peak/argmax reduction stays on-chip because each PRN's grid lives
+on exactly one sat-shard.
+
+Samples are replicated across the mesh: one coherent window is <= 2*163840
+f32 pairs (~2.6 MB), and every (prn, doppler) cell reads every sample, so
+replication is the bandwidth-optimal layout (scaling-book style: shard the
+big broadcast axis, replicate the small shared operand).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from gnss_dsp_tpu.ops import cplx, fft, nco
+from gnss_dsp_tpu.acquire import engine as _eng
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n", "window", "blocks", "peak_mean", "dop_chunk", "mesh"),
+)
+def grid_search_sharded(x, code_ffts, dopp_fixed, dopp_valid,
+                        n: int, window: int, blocks: int,
+                        peak_mean: bool, dop_chunk: int, mesh):
+    """Sharded twin of acquire.engine.grid_search.
+
+    x          : split-complex [>= (blocks-1)*n + window] (replicated)
+    code_ffts  : split-complex [P, window]; P % mesh('sat') == 0
+    dopp_fixed : int32 [Dp], Dp % dop_chunk == 0 (padded, see engine)
+    dopp_valid : bool [Dp]
+    Returns per-PRN (metric [P], code_idx [P], dop_idx [P]).
+    """
+    nsat = mesh.shape["sat"]
+    ntime = mesh.shape["time"]
+    assert code_ffts[0].shape[0] % nsat == 0
+    blocks_local = -(-blocks // ntime)
+    Dp = dopp_fixed.shape[0]
+    n_chunks = Dp // dop_chunk
+
+    def local_fn(x, cf, dopp_fixed, dopp_valid):
+        Pl = cf[0].shape[0]
+        t_idx = jax.lax.axis_index("time")
+        zero_p = jnp.zeros((), jnp.uint32)
+
+        def chunk_body(carry, ci):
+            best_metric, best_code, best_dop = carry
+            d0 = ci * dop_chunk
+            df = jax.lax.dynamic_slice(dopp_fixed, (d0,), (dop_chunk,))
+            valid = jax.lax.dynamic_slice(dopp_valid, (d0,), (dop_chunk,))
+            w = jax.vmap(lambda f: nco.nco_split(f, zero_p, window))(df)
+
+            def block_body(q, b):
+                gb = t_idx * blocks_local + b
+                live = gb < blocks
+                start = jnp.where(live, gb, 0) * n
+                xb = (
+                    jax.lax.dynamic_slice(x[0], (start,), (window,)),
+                    jax.lax.dynamic_slice(x[1], (start,), (window,)),
+                )
+                F = fft.fft(cplx.cmul((xb[0][None, :], xb[1][None, :]), w))
+                prod = cplx.cmul_conj(
+                    (cf[0][:, None, :], cf[1][:, None, :]),
+                    (F[0][None, :, :], F[1][None, :, :]),
+                )
+                R = fft.ifft(prod)
+                return q + jnp.where(live, cplx.cabs(R), 0.0), None
+
+            q, _ = jax.lax.scan(
+                block_body,
+                jnp.zeros((Pl, dop_chunk, window), jnp.float32),
+                jnp.arange(blocks_local),
+            )
+            # the non-coherent accumulation is the only cross-shard term
+            q = jax.lax.psum(q, "time")
+
+            peak = jnp.max(q, axis=-1)
+            code_idx = jnp.argmax(q, axis=-1).astype(jnp.int32)
+            metric = peak / jnp.mean(q, axis=-1) if peak_mean else peak
+            metric = jnp.where(valid[None, :], metric, -jnp.inf)
+            ch_best = jnp.argmax(metric, axis=-1)
+            ch_metric = jnp.take_along_axis(metric, ch_best[:, None], 1)[:, 0]
+            ch_code = jnp.take_along_axis(code_idx, ch_best[:, None], 1)[:, 0]
+            upd = ch_metric > best_metric
+            return (
+                jnp.where(upd, ch_metric, best_metric),
+                jnp.where(upd, ch_code, best_code),
+                jnp.where(upd, (d0 + ch_best).astype(jnp.int32), best_dop),
+            ), None
+
+        init = (
+            jnp.full((Pl,), -jnp.inf, jnp.float32),
+            jnp.zeros((Pl,), jnp.int32),
+            jnp.zeros((Pl,), jnp.int32),
+        )
+        (metric, code_idx, dop_idx), _ = jax.lax.scan(
+            chunk_body, init, jnp.arange(n_chunks)
+        )
+        return metric, code_idx, dop_idx
+
+    shard = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            (P(), P()),                  # x replicated
+            (P("sat", None), P("sat", None)),  # code FFTs sharded by PRN
+            P(), P(),
+        ),
+        out_specs=(P("sat"), P("sat"), P("sat")),
+        check_rep=False,
+    )
+    return shard(x, code_ffts, dopp_fixed, dopp_valid)
+
+
+def acquire_signal_sharded(sig, x_int, prns, mesh, doppler_search=None,
+                           ms: int = 80, chan: int = 0,
+                           dop_chunk: int | None = None):
+    """Mesh-parallel twin of acquire.engine.acquire_signal.
+
+    Pads the PRN list to a multiple of the sat-axis size (results for the
+    padding PRNs are dropped).  Returns list[AcqResult] in PRN order.
+    """
+    doppler_search = doppler_search or sig.doppler_default
+    n = int(round(sig.acq_fs * sig.acq_coherent_ms / 1000.0))
+    window = 2 * n if (sig.acq_pad2 or sig.acq_sliding) else n
+    blocks = _eng._block_count(sig, ms)
+    dops, fixed = _eng.doppler_grid(sig, doppler_search, chan)
+
+    nsat = mesh.shape["sat"]
+    prns_pad = list(prns) + [prns[0]] * ((-len(prns)) % nsat)
+
+    if dop_chunk is None:
+        budget = 256 * 2**20 // max(
+            (len(prns_pad) // nsat) * window * 8, 1
+        )
+        dop_chunk = int(np.clip(budget, 1, len(dops)))
+    Dp = -(-len(dops) // dop_chunk) * dop_chunk
+    fixed_p = np.zeros(Dp, np.int32)
+    fixed_p[: len(fixed)] = fixed
+    valid = np.zeros(Dp, bool)
+    valid[: len(fixed)] = True
+
+    code_ffts = cplx.from_numpy(_eng.build_code_ffts(sig, prns_pad, n, window))
+    x = cplx.from_numpy(x_int) if not isinstance(x_int, tuple) else x_int
+    metric, code_idx, dop_idx = grid_search_sharded(
+        x, code_ffts, jnp.asarray(fixed_p), jnp.asarray(valid),
+        n=n, window=window, blocks=blocks,
+        peak_mean=(sig.acq_metric == "peak_mean"),
+        dop_chunk=dop_chunk, mesh=mesh,
+    )
+    metric = np.asarray(metric)
+    code_idx = np.asarray(code_idx)
+    dop_idx = np.asarray(dop_idx)
+    out = []
+    for i, prn in enumerate(prns):
+        code = (sig.code_length * float(code_idx[i]) / n) % sig.code_length
+        out.append(_eng.AcqResult(
+            prn=prn, doppler=float(dops[dop_idx[i]]),
+            metric=float(metric[i]), code_offset=code,
+        ))
+    return out

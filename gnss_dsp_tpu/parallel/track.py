@@ -1,0 +1,34 @@
+"""Channel-sharded tracking: N channels spread over the mesh's sat axis.
+
+Tracking is sequential in time (the loop filters feed forward,
+track-gps-l1.py:33-94) so the only scalable axis is channels — exactly the
+reference's "one process per track script" usage, but as one jit program.
+State leaves and code tables shard over 'sat'; the sample chunk is
+replicated (every channel reads the same stream).  There are no collectives
+in the step at all — XLA just partitions the vmap — so scaling is linear.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from gnss_dsp_tpu.track.engine import track_scan, TrackState
+
+
+def shard_channels(mesh, state: TrackState, code_tab):
+    """Place per-channel state/code-tables on the mesh ('sat' axis).
+    Channel count must be a multiple of the sat-axis size."""
+    chan = NamedSharding(mesh, P("sat"))
+    chan2 = NamedSharding(mesh, P("sat", None))
+    state = jax.tree.map(lambda a: jax.device_put(a, chan), state)
+    return state, jax.device_put(code_tab, chan2)
+
+
+def track_scan_sharded(mesh, x_chunk, chunk_len, code_tab, state, params,
+                       n_blocks: int):
+    """Run track_scan with channel-sharded state.  x replicated."""
+    rep = NamedSharding(mesh, P())
+    x_chunk = jax.device_put(x_chunk, rep)
+    state, code_tab = shard_channels(mesh, state, code_tab)
+    return track_scan(x_chunk, chunk_len, code_tab, state, params, n_blocks)
