@@ -78,6 +78,51 @@ def mseq(nbits: int, taps, init=None, n=None) -> np.ndarray:
     return lfsr_seq(nbits, taps, init, n)
 
 
+def lfsr_seq_batch(nbits: int, taps, inits, n: int, out_taps=None,
+                   reset_at: int = -1, reset_state=None) -> np.ndarray:
+    """Run many Fibonacci LFSRs in lockstep, vectorized over registers.
+
+    inits     : int64 [R] packed initial states (bit i == x[i])
+    reset_at  : if >= 0, at step i == reset_at the register reloads
+                `reset_state` INSTEAD of shifting (the BeiDou B2a/B2b
+                G1 restart at chip 8189, b2ad.py:55-58)
+    Returns uint8 [R, n] in {0,1}.  ~n numpy ops regardless of R — this is
+    what makes the 10230-chip x 63-PRN families build in milliseconds.
+    """
+    states = np.array(inits, dtype=np.uint64).copy()
+    mask = np.uint64((1 << nbits) - 1)
+    tapmask = np.uint64(sum(1 << t for t in taps))
+    outmask = np.uint64(sum(1 << t for t in (out_taps or (nbits - 1,))))
+    one = np.uint64(1)
+    out = np.empty((len(states), n), dtype=np.uint8)
+    for i in range(n):
+        out[:, i] = np.bitwise_count(states & outmask).astype(np.uint8) & 1
+        if i == reset_at:
+            states[:] = np.uint64(reset_state)
+        else:
+            new = (np.bitwise_count(states & tapmask) & one).astype(np.uint64)
+            states = ((states << one) | new) & mask
+    return out
+
+
+def galois_seq_batch(nbits: int, poly: int, inits, n: int) -> np.ndarray:
+    """Batched Galois-form LFSR x -> (x>>1) ^ lsb(x)*poly, output = lsb —
+    the GPS L2C 27-stage generator (l2cm.py:46-56).  uint8 [R, n]."""
+    states = np.array(inits, dtype=np.uint64).copy()
+    p = np.uint64(poly)
+    one = np.uint64(1)
+    out = np.empty((len(states), n), dtype=np.uint8)
+    for i in range(n):
+        lsb = states & one
+        out[:, i] = lsb.astype(np.uint8)
+        states = (states >> one) ^ (lsb * p)
+    return out
+
+
+def bits_from_str(s: str) -> list[int]:
+    return [1 if c == "1" else 0 for c in s]
+
+
 def xor_pm1(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """{0,1} XOR of two chip streams, returned as int8 {-1,+1} (0 -> +1)."""
     return (1 - 2 * (a.astype(np.int8) ^ b.astype(np.int8))).astype(np.int8)

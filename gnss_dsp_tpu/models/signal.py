@@ -40,17 +40,40 @@ class Signal:
     doppler_default: tuple = (-7000.0, 7000.0, 200.0)
     fdma_hz: float = 0.0           # doppler grid offset per channel (GLONASS)
 
+    # --- assisted serial search (L2CL, GLONASS P handover) ---
+    acq_serial: int = 0            # hypothesis count (75 / 1000); 0 = FFT search
+    acq_serial_stride: float = 0.0 # chips between hypotheses (10230 / 5110)
+    acq_serial_scale: float = 1.0  # parent code-phase -> chips factor (1 / 10)
+    acq_serial_coh_ms: float = 0.0 # coherent block length (20 / 4 ms)
+
     # --- tracking engine parameters (SURVEY §2.4 tracking table) ---
     carrier_ratio: float = 1540.0  # code NCO doppler-aid divisor
     el_spacing: float = 0.05       # early/late offset, chips
-    sub_blocks: int = 1            # correlator subdivisions per code period
     track_mode_initial: str = "FLL_WIDE"
     pll_k1: float = 0.1
     pll_k2: float = 3.5
+    row_format: int = 9            # reference text row: 9 or 14 columns
+    # GLONASS FDMA: carrier_ratio is per-channel,
+    # (rf0 + step*chan) / code_mhz  (track-glonass-l1.py:36-39)
+    fdma_rf0_mhz: float = 0.0
+    fdma_step_mhz: float = 0.0
+    fdma_code_mhz: float = 0.0
 
     @property
     def code_period_ms(self) -> float:
         return 1000.0 * self.code_length / self.chip_rate
+
+    @property
+    def sub_blocks(self) -> int:
+        """Correlator subdivisions per code period — the reference tracks
+        in ~1 ms sub-blocks whenever the code period exceeds 1 ms
+        (track-galileo-e1b.py:164, track-gps-l2cm.py:164)."""
+        return max(int(round(self.code_period_ms)), 1)
+
+    def track_carrier_ratio(self, chan: int = 0) -> float:
+        if self.fdma_code_mhz:
+            return (self.fdma_rf0_mhz + self.fdma_step_mhz * chan) / self.fdma_code_mhz
+        return self.carrier_ratio
 
     def prns(self, spec: str | None = None) -> list[int]:
         from gnss_dsp_tpu.utils.ranges import parse_list_ranges

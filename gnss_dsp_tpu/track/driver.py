@@ -35,11 +35,14 @@ class TrackChannel:
 
 
 def make_params(sig, fs: float, coffset: float, loop_dwells=(500, 500),
-                pll_from_start: bool = False) -> TrackParams:
+                pll_from_start: bool = False, chan: int = 0) -> TrackParams:
     period_ms = sig.code_period_ms
-    nmax = int(fs * 0.001 * period_ms * 1.5) + 2
+    sub = sig.sub_blocks
+    nmax = int(fs * 0.001 * period_ms / sub * 1.5) + 4
     fw, fn = loop_dwells
-    if pll_from_start:
+    if pll_from_start or sig.track_mode_initial == "PLL":
+        # --carrier-phase runs (:135-137) and the Xona scripts
+        # (track-xona-x1p.py:151) start directly in PLL
         fw = fn = 0
     from gnss_dsp_tpu.utils.twofloat import tf_from_f64
 
@@ -50,7 +53,7 @@ def make_params(sig, fs: float, coffset: float, loop_dwells=(500, 500),
         cf_hi=cf_hi,
         cf_lo=cf_lo,
         code_length=int(sig.code_length),
-        carrier_ratio=float(sig.carrier_ratio),
+        carrier_ratio=float(sig.track_carrier_ratio(chan)),
         el_spacing=float(sig.el_spacing),
         coffset_df_fixed=int(nco.freq_to_fixed(-coffset / fs)),
         nmax=nmax,
@@ -59,6 +62,8 @@ def make_params(sig, fs: float, coffset: float, loop_dwells=(500, 500),
         pll_k1=float(sig.pll_k1),
         pll_k2=float(sig.pll_k2),
         code_period_ms=float(period_ms),
+        sub=int(sub),
+        subcarrier=str(sig.subcarrier),
     )
 
 
@@ -96,9 +101,14 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
     code_tab = jnp.asarray(
         sig.code_table(tuple(c.prn for c in channels)).astype(np.int8)
     )
+    ratios = jnp.asarray(
+        np.array([sig.track_carrier_ratio(c.prn) for c in channels],
+                 np.float32)
+    )
 
     chunk_samples = int(fs * chunk_ms / 1000.0)
-    blocks_per_scan = int(chunk_ms / sig.code_period_ms) + 2
+    sub_ms = sig.code_period_ms / sig.sub_blocks
+    blocks_per_scan = int(chunk_ms / sub_ms) + 2
 
     buf = np.zeros(0, np.complex64)
     eof = False
@@ -134,7 +144,8 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
         )
         state = state._replace(stalled=jnp.zeros_like(state.stalled))
         state, rows_f, rows_i = track_scan(
-            x_dev, jnp.int32(len(buf)), code_tab, state, params, nb
+            x_dev, jnp.int32(len(buf)), code_tab, state, params, nb,
+            ratios=ratios,
         )
         rows_f = np.asarray(rows_f)
         rows_i = np.asarray(rows_i)

@@ -60,7 +60,7 @@ class TrackParams(NamedTuple):
     carrier_ratio: float
     el_spacing: float
     coffset_df_fixed: int      # int32 DDS increment for -coffset/fs
-    nmax: int                  # static slice width (>= 1.5 code periods)
+    nmax: int                  # static slice width (>= 1.5 sub-blocks)
     fll_wide_blocks: int       # mode schedule (--loop-dwells)
     fll_narrow_blocks: int
     fll_wide_k: float = 3.0
@@ -70,6 +70,17 @@ class TrackParams(NamedTuple):
     dll_k1: float = 2e-5
     dll_k2: float = 0.2
     code_period_ms: float = 1.0
+    sub: int = 1               # sub-blocks per code period (e1b: 4, l1c: 10,
+                               # l2cm: 20, l2cl: 1500, glonass-p: 1000)
+    subcarrier: str = "none"   # none|boc11|cboc|tmboc|rz_even|rz_odd
+
+
+# TMBOC(6,1,4/33) slot pattern: BOC(6,1) in chips 0,4,6,29 of each 33
+# (gps/l1cp.py:202); CBOC weights sqrt(10/11), sqrt(1/11) (e1b.py:52)
+_TMBOC = np.zeros(33, np.float32)
+_TMBOC[[0, 4, 6, 29]] = 1.0
+_CBOC_W1 = np.float32(0.953463)
+_CBOC_W6 = np.float32(0.301511)
 
 
 class TrackState(NamedTuple):
@@ -89,6 +100,8 @@ class TrackState(NamedTuple):
     code_e1: jnp.ndarray       # f32 previous DLL error
     block: jnp.ndarray         # int32 block counter
     stalled: jnp.ndarray       # bool: ran out of chunk samples
+    n_full: jnp.ndarray        # int32 samples in the current code period
+    sub_j: jnp.ndarray         # int32 sub-block index within the period
 
 
 def init_state(code_p, code_f_off, carrier_p, carrier_f, ptr=0) -> TrackState:
@@ -118,6 +131,8 @@ def init_state(code_p, code_f_off, carrier_p, carrier_f, ptr=0) -> TrackState:
         code_e1=as1(zeros, np.float32),
         block=as1(zeros, np.int32),
         stalled=as1(zeros, bool),
+        n_full=as1(zeros, np.int32),
+        sub_j=as1(zeros, np.int32),
     )
 
 
@@ -128,21 +143,32 @@ def _mode_of(block, p: TrackParams):
     return jnp.where(block >= p.fll_wide_blocks + p.fll_narrow_blocks, 2, m)
 
 
-def _track_block(x_chunk, chunk_len, code_tab, st: TrackState, p: TrackParams):
-    """One code-period block for one channel.
-    Returns (new_state, row_f [11], row_i [3])."""
+def _track_block(x_chunk, chunk_len, code_tab, ratio, st: TrackState,
+                 p: TrackParams):
+    """One tracking sub-block for one channel.  `ratio` is the per-channel
+    carrier-aiding divisor (GLONASS FDMA channels each get their own,
+    track-glonass-l1.py:38-40).  Returns (new_state, row_f [11], row_i [3])."""
     L = float(p.code_length)
     fs = p.fs
     samples_per_period = fs * 0.001 * p.code_period_ms
 
-    # --- adaptive block length targeting the next code boundary (:160-163)
+    # --- adaptive block length targeting the next code boundary (:160-163),
+    # computed once per period; long periods run in p.sub sub-slices with
+    # the reference's int(j*n/sub) boundaries (track-galileo-e1b.py:164-166)
     code_p = st.code_p_hi + st.code_p_lo
     n_f = jnp.where(
         code_p < L / 2,
         samples_per_period * (L - code_p) / L,
         samples_per_period * (2 * L - code_p) / L,
     )
-    n = n_f.astype(jnp.int32)
+    if p.sub == 1:
+        n = n_f.astype(jnp.int32)
+        sub_j_next = st.sub_j
+    else:
+        at_start = st.sub_j == 0
+        n_full = jnp.where(at_start, n_f.astype(jnp.int32), st.n_full)
+        n = ((st.sub_j + 1) * n_full) // p.sub - (st.sub_j * n_full) // p.sub
+        sub_j_next = (st.sub_j + 1) % p.sub
 
     ok = jnp.logical_and(jnp.logical_not(st.stalled), st.ptr + n <= chunk_len)
 
@@ -173,14 +199,44 @@ def _track_block(x_chunk, chunk_len, code_tab, st: TrackState, p: TrackParams):
 
     # --- doppler-aided code rate and E/P/L correlations (:44-48):
     # cf = (code_f + carrier_f/ratio)/fs, split as exact base + dynamic part
-    cf_dyn = (st.code_f_off + st.carrier_f / p.carrier_ratio) / fs
+    cf_dyn = (st.code_f_off + st.carrier_f / ratio) / fs
     cf = jnp.float32(p.cf_hi) + cf_dyn                       # chips/sample
 
     def corr(lag_chips):
-        cp0 = jnp.mod(code_p + lag_chips, L)
-        cp = jnp.mod(cp0 + i.astype(jnp.float32) * cf, L)
-        cidx = jnp.floor(cp).astype(jnp.int32)
+        # int/frac split keeps the gather exact for multi-million-chip
+        # codes (GLONASS P, L2CL) where raw f32 code phase cannot: the
+        # residual fr is an error-free two-float remainder, and the
+        # fractional recurrence fr + i*cf stays small
+        v = tf.tf_add_f((st.code_p_hi, st.code_p_lo), jnp.float32(lag_chips))
+        vint = jnp.floor(v[0] + v[1])
+        fr = tf.tf_value(tf.tf_add_f(v, -vint))
+        cp_i = fr + i.astype(jnp.float32) * cf
+        vint_i = vint.astype(jnp.int32)
+        cidx = jnp.mod(vint_i + jnp.floor(cp_i).astype(jnp.int32),
+                       p.code_length)
         chips = jnp.take(code_tab, cidx, axis=0).astype(jnp.float32)
+
+        if p.subcarrier != "none":
+            # floor(2*cp) mod 2 == floor(2*cp_i) mod 2 because 2*vint is
+            # even; same for the 12x phase (cf. e1b.py:48-56)
+            bp = jnp.mod(jnp.floor(2.0 * cp_i).astype(jnp.int32), 2)
+            boc = (1 - 2 * bp).astype(jnp.float32)
+            if p.subcarrier == "boc11":
+                chips = chips * boc
+            elif p.subcarrier == "cboc":
+                bp6 = jnp.mod(jnp.floor(12.0 * cp_i).astype(jnp.int32), 2)
+                boc6 = (1 - 2 * bp6).astype(jnp.float32)
+                chips = chips * (_CBOC_W1 * boc + _CBOC_W6 * boc6)
+            elif p.subcarrier == "tmboc":
+                bp6 = jnp.mod(jnp.floor(12.0 * cp_i).astype(jnp.int32), 2)
+                boc6 = (1 - 2 * bp6).astype(jnp.float32)
+                slot = jnp.take(jnp.asarray(_TMBOC), jnp.mod(cidx, 33))
+                chips = chips * (slot * boc6 + (1.0 - slot) * boc)
+            elif p.subcarrier == "rz_even":
+                chips = chips * (1 - bp).astype(jnp.float32)
+            elif p.subcarrier == "rz_odd":
+                chips = chips * bp.astype(jnp.float32)
+
         chips = jnp.where(mask, chips, 0.0)
         return jnp.sum(xm[0] * chips), jnp.sum(xm[1] * chips)
 
@@ -235,6 +291,8 @@ def _track_block(x_chunk, chunk_len, code_tab, st: TrackState, p: TrackParams):
         code_e1=e_dll,
         block=st.block + 1,
         stalled=st.stalled,
+        n_full=st.n_full if p.sub == 1 else n_full,
+        sub_j=sub_j_next,
     )
     # freeze the channel if the chunk ran dry (host refills and resumes)
     new = jax.tree.map(lambda a, b: jnp.where(ok, a, b), new, st)
@@ -255,19 +313,23 @@ def _track_block(x_chunk, chunk_len, code_tab, st: TrackState, p: TrackParams):
 
 @partial(jax.jit, static_argnames=("params", "n_blocks"))
 def track_scan(x_chunk, chunk_len, code_tab, state: TrackState,
-               params: TrackParams, n_blocks: int):
-    """Run up to n_blocks tracking blocks for C channels over one device
-    chunk.  x_chunk: split-complex pair; code_tab: int8 [C, L]; state
-    leaves are [C]-shaped.
+               params: TrackParams, n_blocks: int, ratios=None):
+    """Run up to n_blocks tracking sub-blocks for C channels over one
+    device chunk.  x_chunk: split-complex pair; code_tab: int8 [C, L];
+    state leaves are [C]-shaped; ratios: f32 [C] carrier-aiding divisors
+    (defaults to params.carrier_ratio for every channel).
 
     Returns (state, rows_f [n_blocks, C, 11], rows_i [n_blocks, C, 3]);
     rows are NaN/0 once a channel exhausts the chunk (host refills and
     re-enters)."""
+    if ratios is None:
+        ratios = jnp.full(state.block.shape, params.carrier_ratio,
+                          jnp.float32)
 
     def step(st, _):
         new, row_f, row_i = jax.vmap(
-            lambda s, ct: _track_block(x_chunk, chunk_len, ct, s, params)
-        )(st, code_tab)
+            lambda s, ct, r: _track_block(x_chunk, chunk_len, ct, r, s, params)
+        )(st, code_tab, ratios)
         return new, (row_f, row_i)
 
     state, (rows_f, rows_i) = jax.lax.scan(step, state, None, length=n_blocks)

@@ -15,7 +15,8 @@ def synth_iq(code_pm1: np.ndarray, chip_rate: float, fs: float, n: int,
              carrier_phase: float = 0.0, cn0_dbhz: float | None = 45.0,
              amplitude: float = 1.0, rng=None,
              subcarrier: str = "none",
-             carrier_ratio: float | None = None) -> np.ndarray:
+             carrier_ratio: float | None = None,
+             code_doppler_hz: float | None = None) -> np.ndarray:
     """Complex64 [n] baseband samples of one spread-spectrum signal.
 
     code_phase in chips at sample 0.  When carrier_ratio is given (the
@@ -26,11 +27,34 @@ def synth_iq(code_pm1: np.ndarray, chip_rate: float, fs: float, n: int,
     """
     L = len(code_pm1)
     t = np.arange(n, dtype=np.float64)
-    eff_chip_rate = chip_rate + (doppler_hz / carrier_ratio if carrier_ratio else 0.0)
+    # code_doppler_hz: the physical doppler driving the code rate; defaults
+    # to the carrier doppler, but differs under FDMA where the carrier
+    # frequency also carries a channel IF offset that is NOT doppler
+    cd = doppler_hz if code_doppler_hz is None else code_doppler_hz
+    eff_chip_rate = chip_rate + (cd / carrier_ratio if carrier_ratio else 0.0)
     cp = code_phase + t * (eff_chip_rate / fs)
     chips = code_pm1[np.floor(cp).astype(np.int64) % L].astype(np.float64)
-    if subcarrier == "boc11":
-        chips = chips * np.where(np.floor(cp * 2).astype(np.int64) % 2 == 0, 1.0, -1.0)
+    if subcarrier != "none":
+        bp = np.floor(2 * cp).astype(np.int64) % 2
+        boc = 1.0 - 2.0 * bp
+        if subcarrier == "boc11":
+            chips = chips * boc
+        elif subcarrier == "cboc":
+            bp6 = np.floor(12 * cp).astype(np.int64) % 2
+            chips = chips * (0.953463 * boc + 0.301511 * (1.0 - 2.0 * bp6))
+        elif subcarrier == "tmboc":
+            bp6 = np.floor(12 * cp).astype(np.int64) % 2
+            boc6 = 1.0 - 2.0 * bp6
+            pat = np.zeros(33)
+            pat[[0, 4, 6, 29]] = 1.0
+            slot = pat[np.floor(cp).astype(np.int64) % 33]
+            chips = chips * (slot * boc6 + (1.0 - slot) * boc)
+        elif subcarrier == "rz_even":
+            chips = chips * (1 - bp)
+        elif subcarrier == "rz_odd":
+            chips = chips * bp
+        else:
+            raise ValueError(subcarrier)
     carrier = np.exp(2j * np.pi * (carrier_phase + doppler_hz / fs * t))
     sig = amplitude * chips * carrier
     if cn0_dbhz is not None:
