@@ -1,0 +1,123 @@
+"""Acquisition CLI dispatcher.
+
+Usage (mirrors acquire-gps-l1.py:46-61 argv/option layout):
+  python -m gnss_dsp_tpu.cli.acquire SIGNAL [options] input_file sample_rate carrier_offset
+  python -m gnss_dsp_tpu.cli.acquire gps-l2cl [options] input_file fs coffset prn doppler l2cm_code_phase
+  python -m gnss_dsp_tpu.cli.acquire glonass-l1-p [options] input_file fs coffset chan doppler ca_code_phase
+
+Output rows are byte-compatible with the reference workers
+(acquire-gps-l1.py:102, acquire-glonass-l1.py:96-97, acquire-gps-l2cl.py:76).
+"""
+
+from __future__ import annotations
+
+import optparse
+import sys
+
+import numpy as np
+
+from gnss_dsp_tpu.models import get_signal
+from gnss_dsp_tpu.acquire.engine import acquire_signal
+from gnss_dsp_tpu.acquire.serial import serial_search
+from gnss_dsp_tpu.ops.frontend import prepare_baseband, mix_long
+from gnss_dsp_tpu.ops import cplx
+from gnss_dsp_tpu.utils import io as uio
+
+
+def _fmt_row(sig, r) -> str:
+    if sig.fdma_hz:
+        return "chan % 2d doppler % 7.1f metric % 7.1f code_offset %7.2f" % (
+            r.prn, r.doppler, r.metric, r.code_offset)
+    if sig.acq_metric == "peak_mean":
+        return "prn %3d doppler % 7.1f metric % 5.2f code_offset %6.1f" % (
+            r.prn, r.doppler, r.metric, r.code_offset)
+    return "prn %3d doppler % 7.1f metric % 7.1f code_offset %7.2f" % (
+        r.prn, r.doppler, r.metric, r.code_offset)
+
+
+def main(signal: str, argv=None) -> int:
+    sig = get_signal(signal)
+    if sig.acq_serial:
+        return _main_serial(sig, argv)
+
+    fdma = bool(sig.fdma_hz)
+    usage = (f"acquire {signal} [options] input_filename sample_rate "
+             "carrier_offset")
+    parser = optparse.OptionParser(usage=usage)
+    parser.disable_interspersed_args()
+    opt_name = "--channel" if fdma else "--prn"
+    parser.add_option(opt_name, dest="prn", default=sig.prn_default,
+                      help="PRNs/channels to search (default %default)")
+    parser.add_option("--doppler-search", metavar="MIN,MAX,INCR",
+                      default="%g,%g,%g" % sig.doppler_default,
+                      help="Doppler search grid (default %default)")
+    parser.add_option("--time", type="int", default=sig.acq_ms_default,
+                      help="integration time in ms (default %default)")
+    options, args = parser.parse_args(argv)
+    if len(args) != 3:
+        parser.error("expected input_filename sample_rate carrier_offset")
+    filename, fs, coffset = args[0], float(args[1]), float(args[2])
+    ms = options.time
+    dops = tuple(float(v) for v in options.doppler_search.split(","))
+    prns = sig.prns(options.prn)
+
+    fp = open(filename, "rb") if filename != "-" else sys.stdin.buffer
+    x = uio.get_samples_complex(fp, int((ms + 5) * fs / 1000))
+    if x is None:
+        print("insufficient samples", file=sys.stderr)
+        return 1
+
+    xb = prepare_baseband(x, fs, coffset, sig.acq_fs, sig.acq_lowpass_hz,
+                          ms + 2)
+    if fdma:
+        # FDMA: channel offsets fold into the doppler NCO per channel, so
+        # each channel is its own grid search over the shared m-sequence
+        for chan in prns:
+            r = acquire_signal(sig, xb, [chan], doppler_search=dops, ms=ms,
+                               chan=chan)[0]
+            r.prn = chan
+            print(_fmt_row(sig, r))
+        return 0
+
+    for r in acquire_signal(sig, xb, prns, doppler_search=dops, ms=ms):
+        print(_fmt_row(sig, r))
+    return 0
+
+
+def _main_serial(sig, argv) -> int:
+    fdma = bool(sig.fdma_hz)
+    label = "chan" if fdma else "prn"
+    parser = optparse.OptionParser(
+        usage=f"acquire {sig.name} [options] input_filename sample_rate "
+              f"carrier_offset {label} doppler parent_code_phase")
+    parser.disable_interspersed_args()
+    parser.add_option("--time", type="int",
+                      default=40 if sig.acq_serial == 75 else 80,
+                      help="integration time in ms (default %default)")
+    options, args = parser.parse_args(argv)
+    if len(args) != 6:
+        parser.error("expected file fs coffset %s doppler code_phase" % label)
+    filename, fs, coffset = args[0], float(args[1]), float(args[2])
+    prn, doppler, phase = int(args[3]), float(args[4]), float(args[5])
+    ms = options.time
+
+    fp = open(filename, "rb") if filename != "-" else sys.stdin.buffer
+    x = uio.get_samples_complex(fp, int((ms + 2) * fs / 1000))
+    if x is None:
+        print("insufficient samples", file=sys.stderr)
+        return 1
+    xs = mix_long(cplx.from_numpy(x), -coffset / fs)
+    r = serial_search(sig, xs, prn, doppler, parent_code_phase=phase,
+                      fs=fs, ms=ms, chan=prn if fdma else 0)
+    # reference row: code_phase metric (acquire-gps-l2cl.py:76)
+    print("%f %f" % (sig.acq_serial_stride * r.k
+                     + sig.acq_serial_scale * phase, r.metric))
+    return 0
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        print("usage: python -m gnss_dsp_tpu.cli.acquire SIGNAL ...",
+              file=sys.stderr)
+        sys.exit(2)
+    sys.exit(main(sys.argv[1], sys.argv[2:]))

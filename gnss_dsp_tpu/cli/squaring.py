@@ -1,0 +1,46 @@
+"""Squaring-detector filter (behavioral contract: squaring.py:10-42):
+read raw int8 I/Q, wipe the carrier offset, boxcar-decimate by 16,
+square, 100 non-coherent sums, emit int16 I/Q to stdout (baudline food).
+
+argv = input_file sample_rate carrier_offset
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from gnss_dsp_tpu.ops import cplx
+from gnss_dsp_tpu.ops.frontend import mix_long
+from gnss_dsp_tpu.ops.squaring import squaring
+from gnss_dsp_tpu.utils import io as uio
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if len(argv) != 3:
+        print("usage: squaring file sample_rate carrier_offset",
+              file=sys.stderr)
+        return 2
+    filename, fs, coffset = argv[0], float(argv[1]), float(argv[2])
+    fp = open(filename, "rb") if filename != "-" else sys.stdin.buffer
+    out = sys.stdout.buffer
+
+    b, n, m = 1000, 16, 100
+    coffset_phase = 0.0
+    y = np.zeros(2 * b, np.int16)
+    while True:
+        x = uio.get_samples_complex(fp, b * n * m)
+        if x is None:
+            return 0
+        xs = mix_long(cplx.from_numpy(x), -coffset / fs, coffset_phase)
+        coffset_phase = float(np.mod(coffset_phase - len(x) * coffset / fs, 1))
+        rr, ri = squaring(xs, n, m)
+        y[0::2] = np.round(20 * np.asarray(rr)).astype(np.int16)
+        y[1::2] = np.round(20 * np.asarray(ri)).astype(np.int16)
+        y.tofile(out)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,69 @@
+"""Tracking CLI dispatcher.
+
+Usage (mirrors track-gps-l1.py:100-137):
+  python -m gnss_dsp_tpu.cli.track SIGNAL [options] input_file sample_rate \
+      carrier_offset prn doppler code_offset
+
+Prints one row per tracked (sub-)block in the reference's 9- or 14-column
+text format (track-gps-l1.py:176-177, track-galileo-e1b.py:166-167).
+Supports multiple channels at once via comma syntax "21:2400:817.5,5:..."
+(an extension; single prn/doppler/code_offset argv is reference-exact).
+"""
+
+from __future__ import annotations
+
+import optparse
+import sys
+
+from gnss_dsp_tpu.models import get_signal
+from gnss_dsp_tpu.track.driver import (
+    TrackChannel, track_file, format_row_9, format_row_14,
+)
+
+
+def main(signal: str, argv=None) -> int:
+    sig = get_signal(signal)
+    fdma = bool(sig.fdma_hz)
+    label = "chan" if fdma else "prn"
+    parser = optparse.OptionParser(
+        usage=f"track {signal} [options] input_filename sample_rate "
+              f"carrier_offset {label} doppler code_offset")
+    parser.disable_interspersed_args()
+    parser.add_option("--loop-dwells", default="500,500",
+                      help="wide-FLL,narrow-FLL dwell in ms (default %default)")
+    parser.add_option("--carrier-phase",
+                      help="initial carrier phase in cycles (PLL from start)")
+    parser.add_option("--blocks", type="int", default=0,
+                      help="stop after N blocks (0 = run to EOF)")
+    options, args = parser.parse_args(argv)
+    if len(args) != 6:
+        parser.error(f"expected file fs coffset {label} doppler code_offset")
+    filename, fs, coffset = args[0], float(args[1]), float(args[2])
+    doppler, code_offset = float(args[4]), float(args[5])
+    prn = int(args[3])
+
+    dwells = tuple(int(v) for v in options.loop_dwells.split(","))
+    carrier_phase = (float(options.carrier_phase)
+                     if options.carrier_phase is not None else 0.0)
+    ch = TrackChannel(
+        prn=prn, doppler=doppler, code_offset=code_offset,
+        carrier_phase=carrier_phase,
+        pll_from_start=options.carrier_phase is not None,
+    )
+    fp = open(filename, "rb") if filename != "-" else sys.stdin.buffer
+    fmt = format_row_14 if sig.row_format == 14 else format_row_9
+
+    def emit(_k, row):
+        print(fmt(row))
+
+    track_file(sig, fp, fs, coffset, [ch], loop_dwells=dwells,
+               max_blocks=options.blocks or None, emit=emit)
+    return 0
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 2:
+        print("usage: python -m gnss_dsp_tpu.cli.track SIGNAL ...",
+              file=sys.stderr)
+        sys.exit(2)
+    sys.exit(main(sys.argv[1], sys.argv[2:]))
