@@ -23,7 +23,12 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 try:
-    from jax import shard_map
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        # jax.shard_map renamed check_rep -> check_vma
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=check_rep)
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
