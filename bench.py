@@ -58,18 +58,19 @@ def bench_tpu(sig, x, prns, dops_cfg, ms):
     valid_j = jnp.ones(D, bool)
 
     def run():
-        return eng.grid_search(
+        out = eng.grid_search(
             xs, code_ffts, fixed_j, valid_j, n=n, window=window,
             blocks=blocks, peak_mean=True, dop_chunk=dop_chunk,
         )
+        # force full device->host sync: jax.block_until_ready is a no-op
+        # on the axon backend, so timing must read the results back
+        return tuple(np.asarray(o) for o in out)
 
-    out = run()
-    jax.block_until_ready(out)          # compile + warmup
+    out = run()                         # compile + warmup
     t0 = time.perf_counter()
     reps = 3
     for _ in range(reps):
         out = run()
-    jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
     cells = len(prns) * D * window * blocks
     return cells / dt, out, dops, n

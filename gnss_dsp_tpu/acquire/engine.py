@@ -54,13 +54,46 @@ def build_code_ffts(sig, prns, n: int, window: int) -> np.ndarray:
     return np.fft.fft(c, axis=1)
 
 
+def block_windows(x, n: int, window: int, blocks: int):
+    """Stack the non-coherent block windows [B, W] (stride n; W = n for
+    circular search, 2n for the sliding zero-padded templates)."""
+    idx = (jnp.arange(blocks)[:, None] * n + jnp.arange(window)[None, :])
+    return (jnp.take(x[0], idx), jnp.take(x[1], idx))
+
+
+def chunk_q(xb, code_ffts, w, precision):
+    """Non-coherent grid for one doppler chunk: q [P, DC, W].
+
+    xb [B, W] block windows; code_ffts [P, W]; w [DC, W] oscillators.
+    One batched FFT over DC x B rows and one batched IFFT over
+    P x DC x B rows — tall MXU matmuls instead of `blocks` small
+    sequential ones (this is the whole cost of acquisition).
+
+    (A fully transpose-free permuted-order pipeline (ops/fft2) was
+    measured slower on v5e — XLA's axis(-2) dot_general reintroduces the
+    copies — so the swapaxes four-step stays.)
+    """
+    F = fft.fft(cplx.cmul(
+        (xb[0][None, :, :], xb[1][None, :, :]),
+        (w[0][:, None, :], w[1][:, None, :]),
+    ), precision=precision)                                # [DC, B, W]
+    prod = cplx.cmul_conj(
+        (code_ffts[0][:, None, None, :], code_ffts[1][:, None, None, :]),
+        (F[0][None, :, :, :], F[1][None, :, :, :]),
+    )
+    R = fft.ifft(prod, precision=precision)                # [P, DC, B, W]
+    return jnp.sum(cplx.cabs(R), axis=2)                   # [P, DC, W]
+
+
 @partial(
     jax.jit,
-    static_argnames=("n", "window", "blocks", "peak_mean", "dop_chunk"),
+    static_argnames=("n", "window", "blocks", "peak_mean", "dop_chunk",
+                     "precision"),
 )
 def grid_search(x, code_ffts, dopp_fixed, dopp_valid,
                 n: int, window: int, blocks: int,
-                peak_mean: bool, dop_chunk: int):
+                peak_mean: bool, dop_chunk: int,
+                precision=jax.lax.Precision.HIGHEST):
     """Search the full grid; returns per-PRN (metric, code_idx, dop_idx).
 
     x          : split-complex [>= (blocks-1)*n + window] internal-rate samples
@@ -73,6 +106,7 @@ def grid_search(x, code_ffts, dopp_fixed, dopp_valid,
     Dp = dopp_fixed.shape[0]
     n_chunks = Dp // dop_chunk
     zero_p = jnp.zeros((), jnp.uint32)
+    xb = block_windows(x, n, window, blocks)
 
     def chunk_body(carry, ci):
         best_metric, best_code, best_dop = carry
@@ -81,24 +115,8 @@ def grid_search(x, code_ffts, dopp_fixed, dopp_valid,
         valid = jax.lax.dynamic_slice(dopp_valid, (d0,), (dop_chunk,))
         w = jax.vmap(lambda f: nco.nco_split(f, zero_p, window))(df)  # [DC, W]
 
-        def block_body(q, b):
-            xb = (
-                jax.lax.dynamic_slice(x[0], (b * n,), (window,)),
-                jax.lax.dynamic_slice(x[1], (b * n,), (window,)),
-            )
-            F = fft.fft(cplx.cmul((xb[0][None, :], xb[1][None, :]), w))  # [DC, W]
-            prod = cplx.cmul_conj(
-                (code_ffts[0][:, None, :], code_ffts[1][:, None, :]),
-                (F[0][None, :, :], F[1][None, :, :]),
-            )
-            R = fft.ifft(prod)                                           # [P, DC, W]
-            return q + cplx.cabs(R), None
+        q = chunk_q(xb, code_ffts, w, precision)
 
-        q, _ = jax.lax.scan(
-            block_body,
-            jnp.zeros((P, dop_chunk, window), jnp.float32),
-            jnp.arange(blocks),
-        )
         peak = jnp.max(q, axis=-1)                                    # [P, DC]
         code_idx = jnp.argmax(q, axis=-1).astype(jnp.int32)
         metric = peak / jnp.mean(q, axis=-1) if peak_mean else peak
@@ -164,9 +182,10 @@ def acquire_signal(sig, x_int, prns, doppler_search=None, ms: int = 80,
     dops, fixed = doppler_grid(sig, doppler_search, chan)
 
     if dop_chunk is None:
-        # keep the per-chunk correlation surface around ~256 MB
-        budget = 256 * 2**20 // (len(prns) * window * 8)
-        dop_chunk = int(np.clip(budget, 1, len(dops)))
+        # the chunk materializes [P, DC, B, W] surfaces (x ~4 temps);
+        # size DC to keep that under ~1.2 GB of HBM
+        per_dc = len(prns) * blocks * window * 16
+        dop_chunk = int(np.clip(1.2e9 // per_dc, 1, len(dops)))
     Dp = -(-len(dops) // dop_chunk) * dop_chunk
     fixed_p = np.zeros(Dp, np.int32)
     fixed_p[: len(fixed)] = fixed

@@ -59,14 +59,20 @@ def _twiddle(n1: int, n2: int, sign: int):
 
 
 def _cmatmul_last(x, m, precision):
-    """Contract the last axis of split x [..., n] with split [n, n] matrix."""
+    """Contract the last axis of split x [..., n] with split [n, n] matrix.
+
+    3-multiplication (Karatsuba) complex product: the combined matrices
+    (m is always a host-side numpy constant pair) cost nothing, and the
+    MXU pass count drops from 4 to 3 — a 25% cut on acquisition's
+    dominant cost."""
     xr, xi = x
     mr, mi = m
-    rr = jnp.matmul(xr, mr, precision=precision)
-    ri = jnp.matmul(xr, mi, precision=precision)
-    ir = jnp.matmul(xi, mr, precision=precision)
-    ii = jnp.matmul(xi, mi, precision=precision)
-    return (rr - ii, ri + ir)
+    m_sum = mr + mi
+    m_diff = mi - mr
+    m1 = jnp.matmul(xr + xi, mr, precision=precision)
+    m2 = jnp.matmul(xi, m_sum, precision=precision)
+    m3 = jnp.matmul(xr, m_diff, precision=precision)
+    return (m1 - m2, m1 + m3)
 
 
 def _dft_last(x, n: int, sign: int, precision):

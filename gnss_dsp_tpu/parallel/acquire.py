@@ -63,6 +63,14 @@ def grid_search_sharded(x, code_ffts, dopp_fixed, dopp_valid,
         t_idx = jax.lax.axis_index("time")
         zero_p = jnp.zeros((), jnp.uint32)
 
+        # this shard's block windows [B_local, W]; rows past the global
+        # block count zeroed (their |R| contribution is then zero)
+        gb = t_idx * blocks_local + jnp.arange(blocks_local)
+        live = (gb < blocks)[:, None]
+        idx = jnp.where(live, gb[:, None] * n + jnp.arange(window)[None, :], 0)
+        xb = (jnp.where(live, jnp.take(x[0], idx), 0.0),
+              jnp.where(live, jnp.take(x[1], idx), 0.0))
+
         def chunk_body(carry, ci):
             best_metric, best_code, best_dop = carry
             d0 = ci * dop_chunk
@@ -70,27 +78,7 @@ def grid_search_sharded(x, code_ffts, dopp_fixed, dopp_valid,
             valid = jax.lax.dynamic_slice(dopp_valid, (d0,), (dop_chunk,))
             w = jax.vmap(lambda f: nco.nco_split(f, zero_p, window))(df)
 
-            def block_body(q, b):
-                gb = t_idx * blocks_local + b
-                live = gb < blocks
-                start = jnp.where(live, gb, 0) * n
-                xb = (
-                    jax.lax.dynamic_slice(x[0], (start,), (window,)),
-                    jax.lax.dynamic_slice(x[1], (start,), (window,)),
-                )
-                F = fft.fft(cplx.cmul((xb[0][None, :], xb[1][None, :]), w))
-                prod = cplx.cmul_conj(
-                    (cf[0][:, None, :], cf[1][:, None, :]),
-                    (F[0][None, :, :], F[1][None, :, :]),
-                )
-                R = fft.ifft(prod)
-                return q + jnp.where(live, cplx.cabs(R), 0.0), None
-
-            q, _ = jax.lax.scan(
-                block_body,
-                jnp.zeros((Pl, dop_chunk, window), jnp.float32),
-                jnp.arange(blocks_local),
-            )
+            q = _eng.chunk_q(xb, cf, w, jax.lax.Precision.HIGHEST)
             # the non-coherent accumulation is the only cross-shard term
             q = jax.lax.psum(q, "time")
 
@@ -160,7 +148,8 @@ def acquire_signal_sharded(sig, x_int, prns, mesh, doppler_search=None,
     valid = np.zeros(Dp, bool)
     valid[: len(fixed)] = True
 
-    code_ffts = cplx.from_numpy(_eng.build_code_ffts(sig, prns_pad, n, window))
+    code_ffts = cplx.from_numpy(
+        _eng.build_code_ffts(sig, prns_pad, n, window))
     x = cplx.from_numpy(x_int) if not isinstance(x_int, tuple) else x_int
     metric, code_idx, dop_idx = grid_search_sharded(
         x, code_ffts, jnp.asarray(fixed_p), jnp.asarray(valid),

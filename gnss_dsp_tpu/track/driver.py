@@ -34,11 +34,34 @@ class TrackChannel:
     rows: list = field(default_factory=list)
 
 
+def _pallas_ok(sig, fs: float, n_channels: int = 1) -> bool:
+    """Use the fused Pallas correlator on accelerator backends when the
+    extended f32 code rows fit comfortably in VMEM (excludes the
+    multi-million-chip GLONASS P table)."""
+    import os
+    import jax
+
+    if os.environ.get("GNSS_DSP_NO_PALLAS"):
+        return False
+    if jax.default_backend() == "cpu":
+        return False
+    return sig.code_length <= 800_000
+
+
 def make_params(sig, fs: float, coffset: float, loop_dwells=(500, 500),
-                pll_from_start: bool = False, chan: int = 0) -> TrackParams:
+                pll_from_start: bool = False, chan: int = 0,
+                use_pallas: bool | None = None) -> TrackParams:
     period_ms = sig.code_period_ms
     sub = sig.sub_blocks
     nmax = int(fs * 0.001 * period_ms / sub * 1.5) + 4
+    if use_pallas is None:
+        use_pallas = _pallas_ok(sig, fs)
+    pallas_tiles = pallas_w = 0
+    if use_pallas:
+        from gnss_dsp_tpu.ops import pallas_track as ptk
+
+        pallas_tiles = -(-nmax // ptk.TILE)
+        pallas_w = ptk.chip_window(sig.chip_rate / fs)
     fw, fn = loop_dwells
     if pll_from_start or sig.track_mode_initial == "PLL":
         # --carrier-phase runs (:135-137) and the Xona scripts
@@ -64,6 +87,9 @@ def make_params(sig, fs: float, coffset: float, loop_dwells=(500, 500),
         code_period_ms=float(period_ms),
         sub=int(sub),
         subcarrier=str(sig.subcarrier),
+        use_pallas=bool(use_pallas),
+        pallas_tiles=int(pallas_tiles),
+        pallas_w=int(pallas_w),
     )
 
 
@@ -98,13 +124,22 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
         carrier_f=np.array([c.doppler for c in channels]),
         ptr=ptr0,
     )
-    code_tab = jnp.asarray(
-        sig.code_table(tuple(c.prn for c in channels)).astype(np.int8)
-    )
+    code_np = sig.code_table(tuple(c.prn for c in channels)).astype(np.int8)
+    code_tab = jnp.asarray(code_np)
     ratios = jnp.asarray(
         np.array([sig.track_carrier_ratio(c.prn) for c in channels],
                  np.float32)
     )
+    code_rows_ext = None
+    pad_extra = params.nmax
+    if params.use_pallas:
+        from gnss_dsp_tpu.ops import pallas_track as ptk
+
+        cf_nom = sig.chip_rate / fs
+        code_rows_ext = jnp.asarray(ptk.extend_code(
+            code_np, params.pallas_w,
+            int(params.pallas_tiles * ptk.TILE * cf_nom * 1.05) + 4))
+        pad_extra = params.pallas_tiles * ptk.TILE
 
     chunk_samples = int(fs * chunk_ms / 1000.0)
     sub_ms = sig.code_period_ms / sig.sub_blocks
@@ -136,8 +171,8 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
             if nb <= 0:
                 break
 
-        # pad so dynamic_slice(ptr, nmax) is in range for any valid ptr
-        padded = np.concatenate([buf, np.zeros(params.nmax, np.complex64)])
+        # pad so per-channel windows are in range for any valid ptr
+        padded = np.concatenate([buf, np.zeros(pad_extra, np.complex64)])
         x_dev = (
             jnp.asarray(np.ascontiguousarray(padded.real)),
             jnp.asarray(np.ascontiguousarray(padded.imag)),
@@ -145,7 +180,7 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
         state = state._replace(stalled=jnp.zeros_like(state.stalled))
         state, rows_f, rows_i = track_scan(
             x_dev, jnp.int32(len(buf)), code_tab, state, params, nb,
-            ratios=ratios,
+            ratios=ratios, code_rows_ext=code_rows_ext,
         )
         rows_f = np.asarray(rows_f)
         rows_i = np.asarray(rows_i)

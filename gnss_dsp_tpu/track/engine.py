@@ -73,6 +73,9 @@ class TrackParams(NamedTuple):
     sub: int = 1               # sub-blocks per code period (e1b: 4, l1c: 10,
                                # l2cm: 20, l2cl: 1500, glonass-p: 1000)
     subcarrier: str = "none"   # none|boc11|cboc|tmboc|rz_even|rz_odd
+    use_pallas: bool = False   # fused gather-free correlator (TPU only)
+    pallas_tiles: int = 0      # ceil(nmax / pallas_track.TILE)
+    pallas_w: int = 0          # chip window (pallas_track.chip_window)
 
 
 # TMBOC(6,1,4/33) slot pattern: BOC(6,1) in chips 0,4,6,29 of each 33
@@ -191,12 +194,6 @@ def _track_block(x_chunk, chunk_len, code_tab, ratio, st: TrackState,
     wc, ws = nco.cos_sin_of_idx(idx)
     xm = (xb[0] * wc - xb[1] * ws, xb[0] * ws + xb[1] * wc)
 
-    # --- carrier phase bookkeeping (:38-42); dcyc counts whole cycles
-    carrier_p_new = st.carrier_p - n.astype(jnp.float32) * st.carrier_f / fs
-    t = jnp.mod(carrier_p_new, 1.0)
-    carrier_dcyc = jnp.round(carrier_p_new - t).astype(jnp.int32)
-    coffset_p_new = st.coffset_p + (n * jnp.int32(p.coffset_df_fixed)).astype(jnp.uint32)
-
     # --- doppler-aided code rate and E/P/L correlations (:44-48):
     # cf = (code_f + carrier_f/ratio)/fs, split as exact base + dynamic part
     cf_dyn = (st.code_f_off + st.carrier_f / ratio) / fs
@@ -243,6 +240,25 @@ def _track_block(x_chunk, chunk_len, code_tab, ratio, st: TrackState,
     p_early = corr(-p.el_spacing)
     p_prompt = corr(0.0)
     p_late = corr(p.el_spacing)
+
+    n_full_new = st.n_full if p.sub == 1 else n_full
+    return _post_block(p_early, p_prompt, p_late, n, sub_j_next,
+                       n_full_new, ok, cf_dyn, st, p)
+
+
+def _post_block(p_early, p_prompt, p_late, n, sub_j_next, n_full_new, ok,
+                cf_dyn, st: TrackState, p: TrackParams):
+    """Loop-filter updates + bookkeeping after the three correlations
+    (track-gps-l1.py:50-92) — shared by the XLA and Pallas paths."""
+    L = float(p.code_length)
+    fs = p.fs
+
+    # --- carrier phase bookkeeping (:38-42); dcyc counts whole cycles
+    carrier_p_new = st.carrier_p - n.astype(jnp.float32) * st.carrier_f / fs
+    t = jnp.mod(carrier_p_new, 1.0)
+    carrier_dcyc = jnp.round(carrier_p_new - t).astype(jnp.int32)
+    coffset_p_new = st.coffset_p + (
+        n * jnp.int32(p.coffset_df_fixed)).astype(jnp.uint32)
 
     # --- carrier loop (:50-70); prompt1 only refreshed in FLL modes
     mode = _mode_of(st.block, p)
@@ -291,7 +307,7 @@ def _track_block(x_chunk, chunk_len, code_tab, ratio, st: TrackState,
         code_e1=e_dll,
         block=st.block + 1,
         stalled=st.stalled,
-        n_full=st.n_full if p.sub == 1 else n_full,
+        n_full=n_full_new,
         sub_j=sub_j_next,
     )
     # freeze the channel if the chunk ran dry (host refills and resumes)
@@ -311,13 +327,100 @@ def _track_block(x_chunk, chunk_len, code_tab, ratio, st: TrackState,
     return new, row_f, row_i
 
 
+def _step_pallas(x_chunk, chunk_len, code_rows_ext, ratios,
+                 st: TrackState, p: TrackParams):
+    """One scan step for ALL channels through the fused Pallas correlator
+    (ops/pallas_track): vectorized geometry/scalars, one kernel call, and
+    the shared _post_block vmapped over channels."""
+    from gnss_dsp_tpu.ops import pallas_track as ptk
+
+    L = float(p.code_length)
+    fs = p.fs
+    samples_per_period = fs * 0.001 * p.code_period_ms
+
+    code_p = st.code_p_hi + st.code_p_lo
+    n_f = jnp.where(
+        code_p < L / 2,
+        samples_per_period * (L - code_p) / L,
+        samples_per_period * (2 * L - code_p) / L,
+    )
+    if p.sub == 1:
+        n = n_f.astype(jnp.int32)
+        sub_j_next = st.sub_j
+        n_full_new = st.n_full
+    else:
+        at_start = st.sub_j == 0
+        n_full_new = jnp.where(at_start, n_f.astype(jnp.int32), st.n_full)
+        n = (((st.sub_j + 1) * n_full_new) // p.sub
+             - (st.sub_j * n_full_new) // p.sub)
+        sub_j_next = (st.sub_j + 1) % p.sub
+    ok = jnp.logical_and(jnp.logical_not(st.stalled), st.ptr + n <= chunk_len)
+
+    cf_dyn = (st.code_f_off + st.carrier_f / ratios) / fs
+    cf = jnp.float32(p.cf_hi) + cf_dyn
+
+    def vf(lag):
+        v = tf.tf_add_f((st.code_p_hi, st.code_p_lo), jnp.float32(lag))
+        vint = jnp.floor(v[0] + v[1])
+        fr = tf.tf_value(tf.tf_add_f(v, -vint))
+        return vint.astype(jnp.int32), fr
+
+    vint_e, fr_e = vf(-p.el_spacing)
+    vint_p, fr_p = vf(0.0)
+    vint_l, fr_l = vf(p.el_spacing)
+
+    carr_df = nco.freq_to_fixed_jnp(-st.carrier_f / fs)
+    carr_p0 = (jnp.mod(st.carrier_p, 1.0) * jnp.float32(2.0**32)
+               ).astype(jnp.uint32).astype(jnp.int32)
+    C = st.ptr.shape[0]
+    si = jnp.stack([
+        vint_e, vint_p, vint_l,
+        jnp.full((C,), jnp.int32(p.coffset_df_fixed)),
+        n,
+        st.coffset_p.astype(jnp.int32),
+        carr_df,
+        carr_p0,
+        st.ptr,
+    ], axis=1)
+    sf = jnp.stack([fr_e, fr_p, fr_l, cf], axis=1)
+
+    # unrolled per-channel contiguous slices (NOT vmapped: a vmapped
+    # dynamic_slice lowers to an element gather, ~10 cycles/element)
+    npad = p.pallas_tiles * ptk.TILE
+    xr = jnp.stack([
+        jax.lax.dynamic_slice(x_chunk[0], (st.ptr[c],), (npad,))
+        for c in range(C)])
+    xi = jnp.stack([
+        jax.lax.dynamic_slice(x_chunk[1], (st.ptr[c],), (npad,))
+        for c in range(C)])
+
+    sums = ptk.epl_correlate(
+        si, sf, xr, xi, code_rows_ext,
+        n_tiles=p.pallas_tiles, W=p.pallas_w, sub=p.subcarrier,
+    )
+    p_early = (sums[:, 0], sums[:, 1])
+    p_prompt = (sums[:, 2], sums[:, 3])
+    p_late = (sums[:, 4], sums[:, 5])
+
+    return jax.vmap(
+        lambda pe0, pe1, pp0, pp1, pl0, pl1, nn, sj, nf, okk, cfd, s:
+        _post_block((pe0, pe1), (pp0, pp1), (pl0, pl1), nn, sj, nf, okk,
+                    cfd, s, p)
+    )(p_early[0], p_early[1], p_prompt[0], p_prompt[1], p_late[0], p_late[1],
+      n, sub_j_next, n_full_new, ok, cf_dyn, st)
+
+
 @partial(jax.jit, static_argnames=("params", "n_blocks"))
 def track_scan(x_chunk, chunk_len, code_tab, state: TrackState,
-               params: TrackParams, n_blocks: int, ratios=None):
+               params: TrackParams, n_blocks: int, ratios=None,
+               code_rows_ext=None):
     """Run up to n_blocks tracking sub-blocks for C channels over one
     device chunk.  x_chunk: split-complex pair; code_tab: int8 [C, L];
     state leaves are [C]-shaped; ratios: f32 [C] carrier-aiding divisors
-    (defaults to params.carrier_ratio for every channel).
+    (defaults to params.carrier_ratio for every channel).  When
+    params.use_pallas, code_rows_ext is the f32 extended code table from
+    pallas_track.extend_code and the fused kernel replaces the gather
+    correlator.
 
     Returns (state, rows_f [n_blocks, C, 11], rows_i [n_blocks, C, 3]);
     rows are NaN/0 once a channel exhausts the chunk (host refills and
@@ -325,11 +428,17 @@ def track_scan(x_chunk, chunk_len, code_tab, state: TrackState,
     if ratios is None:
         ratios = jnp.full(state.block.shape, params.carrier_ratio,
                           jnp.float32)
+    use_pallas = params.use_pallas and code_rows_ext is not None
 
     def step(st, _):
-        new, row_f, row_i = jax.vmap(
-            lambda s, ct, r: _track_block(x_chunk, chunk_len, ct, r, s, params)
-        )(st, code_tab, ratios)
+        if use_pallas:
+            new, row_f, row_i = _step_pallas(
+                x_chunk, chunk_len, code_rows_ext, ratios, st, params)
+        else:
+            new, row_f, row_i = jax.vmap(
+                lambda s, ct, r: _track_block(x_chunk, chunk_len, ct, r,
+                                              s, params)
+            )(st, code_tab, ratios)
         return new, (row_f, row_i)
 
     state, (rows_f, rows_i) = jax.lax.scan(step, state, None, length=n_blocks)

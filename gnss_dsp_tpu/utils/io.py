@@ -25,11 +25,17 @@ def get_samples_complex(fp, n: int):
 
 
 def bytes_to_complex(z: bytes) -> np.ndarray:
-    s = np.frombuffer(z, dtype=np.int8).reshape(-1, 2)
-    x = np.empty(s.shape[0], dtype=np.complex64)
-    x.real = s[:, 0]
-    x.imag = s[:, 1]
-    return x
+    from gnss_dsp_tpu.utils import native
+
+    return native.deinterleave_c64(z)
+
+
+def bytes_to_split(z: bytes):
+    """int8 I/Q bytes -> planar (re, im) f32 — the device layout, skipping
+    the complex64 round-trip entirely."""
+    from gnss_dsp_tpu.utils import native
+
+    return native.deinterleave_f32(z)
 
 
 class SampleStream:

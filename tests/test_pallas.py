@@ -1,0 +1,117 @@
+"""Pallas fused wipeoff+EPL correlator vs a float64 numpy oracle of the
+engine's math (interpret mode; the same kernel compiles natively on TPU)."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gnss_dsp_tpu.ops import pallas_track as ptk
+
+
+def oracle(x, code, code_p, cf, el, ph0a, dpha, ph0b, dphb, n_valid, sub):
+    L = len(code)
+    i = np.arange(len(x))
+    ia = ((ph0a + i * np.int64(dpha)) % (1 << 32)) >> 22
+    ib = ((ph0b + i * np.int64(dphb)) % (1 << 32)) >> 22
+    idx = ia + ib
+    ang = (idx & 1023) * (2 * np.pi / 1024)
+    osc = np.cos(ang) + 1j * np.sin(ang)
+    xm = x * osc
+    xm[n_valid:] = 0
+    out = []
+    for lag in (-el, 0.0, el):
+        # mirror the kernel's arithmetic: vint/fr split, f32 fractional
+        # recurrence (boundary decisions then agree bit-for-bit)
+        v = code_p + lag
+        vint = np.floor(v)
+        fr = np.float32(v - vint)
+        cp32 = (fr + i.astype(np.float32) * np.float32(cf)).astype(np.float32)
+        cp = vint + cp32.astype(np.float64)
+        ci = (vint.astype(np.int64)
+              + np.floor(cp32).astype(np.int64)) % L
+        chips = code[ci].astype(np.float64)
+        if sub != "none":
+            bp = np.floor((np.float32(2.0) * cp32).astype(np.float32)
+                          ).astype(np.int64) % 2
+            boc = 1.0 - 2 * bp
+            if sub == "boc11":
+                chips = chips * boc
+            elif sub == "cboc":
+                bp6 = np.floor((np.float32(12.0) * cp32).astype(np.float32)
+                               ).astype(np.int64) % 2
+                chips = chips * (0.953463 * boc + 0.301511 * (1 - 2 * bp6))
+            elif sub == "tmboc":
+                bp6 = np.floor((np.float32(12.0) * cp32).astype(np.float32)
+                               ).astype(np.int64) % 2
+                boc6 = 1.0 - 2 * bp6
+                u = (vint.astype(np.int64)
+                     + np.floor(cp32).astype(np.int64)) % 33
+                slot = np.isin(u, [0, 4, 6, 29]).astype(np.float64)
+                chips = chips * (slot * boc6 + (1 - slot) * boc)
+            elif sub == "rz_even":
+                chips = chips * (1 - bp)
+            elif sub == "rz_odd":
+                chips = chips * bp
+        p = np.sum(xm * chips)
+        out.extend([p.real, p.imag])
+    return np.array(out)
+
+
+@pytest.mark.parametrize("sub", ["none", "boc11", "cboc", "tmboc",
+                                 "rz_even", "rz_odd"])
+def test_kernel_matches_oracle(sub, rng):
+    fs = 4.096e6
+    chip_rate = 1.023e6
+    L = 1023
+    code = rng.choice([-1, 1], L).astype(np.int8)
+    n = 4100
+    n_tiles = -(-n // ptk.TILE)
+    npad = n_tiles * ptk.TILE
+    C = 3
+    cf = chip_rate / fs
+    W = ptk.chip_window(cf)
+    el = 0.25
+
+    x = (rng.standard_normal((C, npad)) + 1j * rng.standard_normal((C, npad)))
+    code_rows = ptk.extend_code(np.tile(code, (C, 1)), W,
+                                int(np.ceil(npad * cf)) + 2)
+
+    si = np.zeros((C, 9), np.int32)
+    sf = np.zeros((C, 4), np.float32)
+    oracle_out = np.zeros((C, 6))
+    for c in range(C):
+        code_p = float(rng.uniform(0, L))
+        ph0a = int(rng.integers(0, 1 << 32))
+        dpha = int(rng.integers(-(1 << 20), 1 << 20))
+        ph0b = int(rng.integers(0, 1 << 32))
+        dphb = int(rng.integers(-(1 << 20), 1 << 20))
+        nv = n - c * 7
+
+        def as_i32(v):
+            return np.int32(v) if v < (1 << 31) else np.int32(v - (1 << 32))
+
+        for k, lag in enumerate((-el, 0.0, el)):
+            v = code_p + lag
+            si[c, k] = int(np.floor(v))
+            sf[c, k] = np.float32(v - np.floor(v))
+        si[c, 3] = dpha
+        si[c, 4] = nv
+        si[c, 5] = as_i32(ph0a)
+        si[c, 6] = dphb
+        si[c, 7] = as_i32(ph0b)
+        sf[c, 3] = np.float32(cf)
+        oracle_out[c] = oracle(x[c], code, code_p, cf, el,
+                               ph0a, dpha, ph0b, dphb, nv, sub)
+
+    got = np.asarray(ptk.epl_correlate(
+        jnp.asarray(si), jnp.asarray(sf),
+        jnp.asarray(x.real.astype(np.float32)),
+        jnp.asarray(x.imag.astype(np.float32)),
+        jnp.asarray(code_rows),
+        n_tiles=n_tiles, W=W, sub=sub, interpret=True,
+    ))[:, :6]
+
+    scale = np.abs(oracle_out).max()
+    np.testing.assert_allclose(got, oracle_out, atol=2e-3 * scale, rtol=1e-4)
