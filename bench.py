@@ -51,7 +51,7 @@ def bench_tpu(sig, x, prns, dops_cfg, ms):
     blocks = ms
     dops, fixed = eng.doppler_grid(sig, dops_cfg)
     D = len(dops)
-    dop_chunk = D  # [32, 70, 4096] f32 grid = 37 MB — one chunk
+    dop_chunk = 7  # [P, DC, B, W] surfaces: 7 bins x 80 blocks ~ 300 MB
     code_ffts = cplx.from_numpy(eng.build_code_ffts(sig, prns, n, window))
     xs = cplx.from_numpy(x)
     fixed_j = jnp.asarray(fixed)
