@@ -1,0 +1,74 @@
+"""Utility tiers: cn0 math, squaring op, ranges parser, correlation-shape
+probe, profiling counters."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gnss_dsp_tpu.cli.cn0 import cn0
+from gnss_dsp_tpu.ops.squaring import squaring
+from gnss_dsp_tpu.utils.ranges import parse_list_ranges, parse_list_floats
+
+
+def test_cn0_formula(rng):
+    """cn0 = 20*log10(mean|I| / (sqrt(2)*std(Q))) + 30 (cn0.py:20-25)."""
+    n = 100000
+    snr_amp = 50.0
+    x = snr_amp + rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    got = cn0(x)
+    want = 20 * np.log10(np.mean(np.abs(x.real))
+                         / (np.sqrt(2) * np.std(x.imag))) + 30
+    assert abs(got - want) < 1e-9
+
+
+def test_squaring_matches_reference_loop(rng):
+    """r[b] = sum_k (sum_l x[bnm+kn+l])^2 / n (gnsstools/squaring.py:13-23)."""
+    b, n, m = 4, 8, 5
+    x = rng.standard_normal(b * n * m) + 1j * rng.standard_normal(b * n * m)
+    want = np.zeros(b, complex)
+    for bi in range(b):
+        for k in range(m):
+            s = x[bi * n * m + k * n:(bi) * n * m + (k + 1) * n].sum()
+            want[bi] += s * s / n
+    rr, ri = squaring((jnp.asarray(x.real.astype(np.float32)),
+                       jnp.asarray(x.imag.astype(np.float32))), n, m)
+    np.testing.assert_allclose(np.asarray(rr), want.real, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ri), want.imag, rtol=1e-4)
+
+
+def test_ranges_parser():
+    assert parse_list_ranges("1,3,7-9") == [1, 3, 7, 8, 9]
+    assert parse_list_ranges("-7:7", sep=":") == list(range(-7, 8))
+    assert parse_list_ranges("5") == [5]
+    assert parse_list_floats("1.5,-2,3e3") == [1.5, -2.0, 3000.0]
+
+
+def test_correlation_shape_probe(rng):
+    """The probe's peak sits at the true code offset."""
+    from gnss_dsp_tpu.track.probe import correlation_shape
+    from gnss_dsp_tpu.models import get_signal
+    from gnss_dsp_tpu.utils.synth import synth_iq
+
+    sig = get_signal("gps-l1")
+    fs = 4.096e6
+    code = sig.code_table((7,))[0]
+    true_cp = 100.4
+    x = synth_iq(code, sig.chip_rate, fs, 4096, doppler_hz=0.0,
+                 code_phase=true_cp, cn0_dbhz=None)
+    xs = (jnp.asarray(x.real), jnp.asarray(x.imag))
+    n_lags = 81
+    re, im = correlation_shape(
+        xs, jnp.asarray(code.astype(np.int8)), jnp.float32(100.0),
+        jnp.float32(sig.chip_rate / fs), jnp.float32(0.05), n_lags, 1023)
+    mag = np.hypot(np.asarray(re), np.asarray(im))
+    peak_lag = 0.05 * (int(np.argmax(mag)) - n_lags // 2)
+    assert abs((100.0 + peak_lag) - true_cp) <= 0.05, peak_lag
+
+
+def test_counters():
+    from gnss_dsp_tpu.utils.profiling import Counters
+
+    c = Counters()
+    c.samples += 1000
+    c.cells += 5000
+    r = c.report()
+    assert "Msamples/s" in r and "Gcells/s" in r
