@@ -121,3 +121,10 @@ if __name__ == "__main__":
               file=sys.stderr)
         sys.exit(2)
     sys.exit(main(sys.argv[1], sys.argv[2:]))
+
+
+def _entry():
+    if len(sys.argv) < 2:
+        print("usage: gnss-acquire SIGNAL ...", file=sys.stderr)
+        sys.exit(2)
+    sys.exit(main(sys.argv[1], sys.argv[2:]))

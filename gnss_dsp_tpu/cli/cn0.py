@@ -39,3 +39,7 @@ def main(argv=None) -> int:
 
 if __name__ == "__main__":
     sys.exit(main(sys.argv[1:]))
+
+
+def _entry():
+    sys.exit(main(sys.argv[1:]))

@@ -44,3 +44,7 @@ def main(argv=None) -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def _entry():
+    sys.exit(main(sys.argv[1:]))
