@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 1024  # also the minimum 1-D HBM DMA slice granularity (f32)
+TILE = 1024
 _LUT_SHIFT = np.uint32(22)
 _TWO_PI_OVER_NT = np.float32(2.0 * np.pi / 1024.0)
 _CBOC_W1 = np.float32(0.953463)
@@ -91,57 +91,73 @@ def _kernel(si_ref, sf_ref, xr_ref, xi_ref, code_ref, out_ref, acc,
     cf = sf_ref[c, 3]
 
     i0 = j * TILE
-    it = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0).reshape(TILE)
-    i_abs = i0 + it
 
-    # two separately-quantized DDS phases, indices summed — the exact
-    # double-LUT product the reference's two mix_ passes produce
-    # (table[i]*table[j] == table[(i+j) mod 1024])
-    ph_a = (ph0_a + i_abs * dph_a).astype(jnp.uint32)
-    ph_b = (ph0_b + i_abs * dph_b).astype(jnp.uint32)
-    idx = (jax.lax.shift_right_logical(ph_a, _LUT_SHIFT).astype(jnp.int32)
-           + jax.lax.shift_right_logical(ph_b, _LUT_SHIFT).astype(jnp.int32)
-           ) & 1023
-    ang = idx.astype(jnp.float32) * _TWO_PI_OVER_NT
-    wc = jnp.cos(ang)
-    ws = jnp.sin(ang)
-    xr = xr_ref[0, 0, pl.ds(i0, TILE)]
-    xi = xi_ref[0, 0, pl.ds(i0, TILE)]
-    mask = (i_abs < nvalid).astype(jnp.float32)
-    mr = (xr * wc - xi * ws) * mask
-    mi = (xr * ws + xi * wc) * mask
+    # skip tiles that are entirely past this channel's block end — blocks
+    # average ~2/3 of nmax, so this prunes ~1/3 of the grid
+    @pl.when(i0 < nvalid)
+    def _tile():
+        it = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0).reshape(TILE)
+        i_abs = i0 + it
 
-    W2 = W + 128
-    w_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, W2), 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    contrib = jnp.zeros((1, 128), jnp.float32)
-    for lag in range(3):
-        vint = vints[lag]
-        fr = frs[lag]
-        cp = fr + i_abs.astype(jnp.float32) * cf
-        base = jnp.floor(fr + jnp.float32(i0) * cf).astype(jnp.int32)
-        rel = jnp.floor(cp).astype(jnp.int32)
-        # the code window must start 128-lane-aligned (Mosaic dynamic
-        # slice constraint); fold the sub-128 offset into the one-hot
-        start = vint + base + 1
-        sa = (start // 128) * 128
-        delta = start - sa
-        onehot = (w_iota == (rel - base + delta)[:, None]).astype(jnp.float32)
-        if sub == "none":
-            ar, ai = mr, mi
-        else:
-            fac = _subcarrier_factor(sub, cp, rel, vint)
-            ar, ai = mr * fac, mi * fac
-        m2 = jnp.stack([ar, ai])                            # [2, T]
-        seg = jnp.dot(m2, onehot,
-                      preferred_element_type=jnp.float32)   # [2, W2]
-        cw = code_ref[0, 0, pl.ds(pl.multiple_of(sa, 128), W2)]
-        s_re = jnp.sum(seg[0] * cw)
-        s_im = jnp.sum(seg[1] * cw)
-        contrib = contrib + jnp.where(lane == 2 * lag, s_re, 0.0)
-        contrib = contrib + jnp.where(lane == 2 * lag + 1, s_im, 0.0)
+        # two separately-quantized DDS phases, indices summed — the exact
+        # double-LUT product the reference's two mix_ passes produce
+        # (table[i]*table[j] == table[(i+j) mod 1024])
+        ph_a = (ph0_a + i_abs * dph_a).astype(jnp.uint32)
+        ph_b = (ph0_b + i_abs * dph_b).astype(jnp.uint32)
+        idx = (jax.lax.shift_right_logical(ph_a, _LUT_SHIFT).astype(jnp.int32)
+               + jax.lax.shift_right_logical(ph_b, _LUT_SHIFT).astype(jnp.int32)
+               ) & 1023
+        ang = idx.astype(jnp.float32) * _TWO_PI_OVER_NT
+        wc = jnp.cos(ang)
+        ws = jnp.sin(ang)
+        xr = xr_ref[0, 0, pl.ds(i0, TILE)]
+        xi = xi_ref[0, 0, pl.ds(i0, TILE)]
+        mask = (i_abs < nvalid).astype(jnp.float32)
+        mr = (xr * wc - xi * ws) * mask
+        mi = (xr * ws + xi * wc) * mask
+        m2 = jnp.stack([mr, mi]).astype(jnp.bfloat16)       # [2, T]
 
-    acc[0, :] = acc[0, :] + contrib[0, :]
+        W2 = W + 128
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, W2), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        contrib = jnp.zeros((1, 128), jnp.float32)
+        # one-hot in bf16 (exact for 0/1 and for the +-1/CBOC factors'
+        # 8-bit mantissa needs; halves the dominant VMEM traffic) with
+        # the per-lag subcarrier factor folded into it so the m2 matmul
+        # operand is shared by all three lags
+        ohs = []
+        sas = []
+        for lag in range(3):
+            vint = vints[lag]
+            fr = frs[lag]
+            cp = fr + i_abs.astype(jnp.float32) * cf
+            base = jnp.floor(fr + jnp.float32(i0) * cf).astype(jnp.int32)
+            rel = jnp.floor(cp).astype(jnp.int32)
+            # code window starts must be 128-lane-aligned (Mosaic dynamic
+            # slice constraint); fold the sub-128 offset into the one-hot
+            start = vint + base + 1
+            sa = (start // 128) * 128
+            delta = start - sa
+            oh = (w_iota == (rel - base + delta)[:, None])
+            if sub == "none":
+                ohf = oh.astype(jnp.bfloat16)
+            else:
+                fac = _subcarrier_factor(sub, cp, rel, vint)
+                ohf = (oh.astype(jnp.float32)
+                       * fac[:, None]).astype(jnp.bfloat16)
+            ohs.append(ohf)
+            sas.append(sa)
+
+        seg = jnp.dot(m2, jnp.concatenate(ohs, axis=1),
+                      preferred_element_type=jnp.float32)   # [2, 3*W2]
+        for lag in range(3):
+            cw = code_ref[0, 0, pl.ds(pl.multiple_of(sas[lag], 128), W2)]
+            s_re = jnp.sum(seg[0, lag * W2:(lag + 1) * W2] * cw)
+            s_im = jnp.sum(seg[1, lag * W2:(lag + 1) * W2] * cw)
+            contrib = contrib + jnp.where(lane == 2 * lag, s_re, 0.0)
+            contrib = contrib + jnp.where(lane == 2 * lag + 1, s_im, 0.0)
+
+        acc[0, :] = acc[0, :] + contrib[0, :]
 
     @pl.when(j == n_tiles - 1)
     def _():

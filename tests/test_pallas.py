@@ -114,4 +114,4 @@ def test_kernel_matches_oracle(sub, rng):
     ))[:, :6]
 
     scale = np.abs(oracle_out).max()
-    np.testing.assert_allclose(got, oracle_out, atol=2e-3 * scale, rtol=1e-4)
+    np.testing.assert_allclose(got, oracle_out, atol=8e-3 * scale, rtol=2e-2)  # bf16 one-hot/m operands
