@@ -36,27 +36,39 @@ def main(signal: str, argv=None) -> int:
     parser.add_option("--blocks", type="int", default=0,
                       help="stop after N blocks (0 = run to EOF)")
     options, args = parser.parse_args(argv)
-    if len(args) != 6:
-        parser.error(f"expected file fs coffset {label} doppler code_offset")
-    filename, fs, coffset = args[0], float(args[1]), float(args[2])
-    doppler, code_offset = float(args[4]), float(args[5])
-    prn = int(args[3])
-
     dwells = tuple(int(v) for v in options.loop_dwells.split(","))
     carrier_phase = (float(options.carrier_phase)
                      if options.carrier_phase is not None else 0.0)
-    ch = TrackChannel(
-        prn=prn, doppler=doppler, code_offset=code_offset,
-        carrier_phase=carrier_phase,
-        pll_from_start=options.carrier_phase is not None,
-    )
+    pll = options.carrier_phase is not None
+
+    if len(args) == 4 and ":" in args[3]:
+        # multi-channel extension: "prn:doppler:code[,prn:doppler:code...]"
+        filename, fs, coffset = args[0], float(args[1]), float(args[2])
+        channels = []
+        for spec in args[3].split(","):
+            p, d, co = spec.split(":")
+            channels.append(TrackChannel(
+                prn=int(p), doppler=float(d), code_offset=float(co),
+                carrier_phase=carrier_phase, pll_from_start=pll))
+    elif len(args) == 6:
+        filename, fs, coffset = args[0], float(args[1]), float(args[2])
+        channels = [TrackChannel(
+            prn=int(args[3]), doppler=float(args[4]),
+            code_offset=float(args[5]),
+            carrier_phase=carrier_phase, pll_from_start=pll)]
+    else:
+        parser.error(f"expected file fs coffset {label} doppler code_offset"
+                     f" (or file fs coffset prn:dop:code,prn:dop:code,...)")
+
     fp = open(filename, "rb") if filename != "-" else sys.stdin.buffer
     fmt = format_row_14 if sig.row_format == 14 else format_row_9
+    multi = len(channels) > 1
 
-    def emit(_k, row):
-        print(fmt(row))
+    def emit(k, row):
+        prefix = f"ch{channels[k].prn} " if multi else ""
+        print(prefix + fmt(row))
 
-    track_file(sig, fp, fs, coffset, [ch], loop_dwells=dwells,
+    track_file(sig, fp, fs, coffset, channels, loop_dwells=dwells,
                max_blocks=options.blocks or None, emit=emit)
     return 0
 

@@ -20,6 +20,61 @@ from gnss_dsp_tpu.track.engine import (
 )
 
 
+class _PrefetchReader:
+    """Double-buffered host ingest: the next chunk's file read +
+    int8 deinterleave runs on a worker thread while the device scans the
+    current chunk (SURVEY.md §7 'Host I/O' hard part — the reference
+    blocks on every read, track-gps-l1.py:165)."""
+
+    def __init__(self, fp, ahead_samples: int):
+        import queue
+        import threading
+
+        self.fp = fp
+        self.q = queue.Queue(maxsize=2)
+        self.leftover = np.zeros(0, np.complex64)
+        self.done = False
+        self._chunk = int(ahead_samples)
+        self._t = threading.Thread(target=self._worker, daemon=True)
+        self._t.start()
+
+    def _worker(self):
+        from gnss_dsp_tpu.utils import native
+
+        while True:
+            raw = self.fp.read(2 * self._chunk)
+            if not raw:
+                self.q.put(None)
+                return
+            n2 = 2 * (len(raw) // 2)
+            self.q.put(native.deinterleave_c64(raw[:n2]))
+            if n2 < 2 * self._chunk:
+                self.q.put(None)
+                return
+
+    def take(self, want: int):
+        """Up to `want` samples (short only at EOF); None when drained."""
+        parts = []
+        got = len(self.leftover)
+        if got:
+            parts.append(self.leftover)
+            self.leftover = np.zeros(0, np.complex64)
+        while got < want and not self.done:
+            nxt = self.q.get()
+            if nxt is None:
+                self.done = True
+                break
+            parts.append(nxt)
+            got += len(nxt)
+        if not parts:
+            return None
+        x = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        if len(x) > want:
+            self.leftover = x[want:]
+            x = x[:want]
+        return x
+
+
 @dataclass
 class TrackChannel:
     prn: int
@@ -146,21 +201,15 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
     blocks_per_scan = int(chunk_ms / sub_ms) + 2
 
     buf = np.zeros(0, np.complex64)
-    eof = False
     total_blocks = 0
+    reader = _PrefetchReader(fp, chunk_samples + pad_extra)
     while True:
-        # refill device chunk
+        # refill device chunk (the next file read was already started on
+        # the prefetch thread while the previous scan ran)
         want = chunk_samples + params.nmax - len(buf)
-        if want > 0 and not eof:
-            raw = fp.read(2 * want)
-            if len(raw) < 2 * want:
-                eof = True
-                raw = raw[: 2 * (len(raw) // 2)]
-            if raw:
-                s = np.frombuffer(raw, np.int8).reshape(-1, 2)
-                xx = np.empty(s.shape[0], np.complex64)
-                xx.real = s[:, 0]
-                xx.imag = s[:, 1]
+        if want > 0:
+            xx = reader.take(want)
+            if xx is not None and len(xx):
                 buf = np.concatenate([buf, xx])
         if len(buf) == 0:
             break
@@ -219,7 +268,7 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
         buf = buf[consumed:]
         state = state._replace(ptr=jnp.asarray(ptrs - consumed, jnp.int32))
 
-        if eof and not emitted_any:
+        if reader.done and not emitted_any:
             break
     return channels
 
