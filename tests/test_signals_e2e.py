@@ -189,3 +189,55 @@ def test_track_glonass_fdma_ratio():
     track_file(sig, fp, fs, 0.0, [ch], loop_dwells=(150, 100))
     cf = np.array([r["carrier_f"] for r in ch.rows[-30:]])
     assert abs(np.mean(cf) - 800.0) < 8.0
+
+
+@pytest.mark.slow
+def test_track_l2cl_long_code():
+    """L2CL: 767250-chip code, 1.5 s period tracked in 1500 sub-blocks —
+    exercises the int/frac split code phase at chip indices ~7.6e5."""
+    from gnss_dsp_tpu.track.driver import TrackChannel, track_file
+    from gnss_dsp_tpu.utils.synth import to_int8_iq
+    import io as _io
+
+    sig = get_signal("gps-l2cl")
+    assert sig.sub_blocks == 1500
+    fs = 2.048e6
+    # code phase near the period end so the initial code-boundary
+    # alignment (track driver :141-143) discards only ~15 ms
+    cp0 = 760000.0
+    x = make_iq(sig, 5, fs, 450, 800.0, cp0, cn0=55.0)
+    fp = _io.BytesIO(to_int8_iq(x, scale=24.0))
+    ch = TrackChannel(prn=5, doppler=805.0, code_offset=cp0)
+    track_file(sig, fp, fs, 0.0, [ch], loop_dwells=(100, 80),
+               max_blocks=380)
+    rows = ch.rows
+    assert len(rows) >= 300, len(rows)
+    cf = np.array([r["carrier_f"] for r in rows[-40:]])
+    assert abs(np.mean(cf) - 800.0) < 8.0, np.mean(cf)
+    pr = np.array([r["prompt"] for r in rows[-40:]])
+    el = np.array([max(r["early"], r["late"]) for r in rows[-40:]])
+    assert np.mean(pr) > np.mean(el)
+    # code phase advanced ~0.25 chips/sample without wrapping artifacts
+    cps = np.array([r["code_p"] for r in rows[:100]])
+    d = np.diff(cps)
+    d = d[d > 0]
+    assert abs(np.median(d) - (sig.chip_rate / fs) * fs * 0.001) < 2.0
+
+
+def test_track_xona_pll_start():
+    """Xona starts directly in PLL with hot gains (track-xona-x1p.py:151)."""
+    from gnss_dsp_tpu.track.driver import TrackChannel, make_params, track_file
+    from gnss_dsp_tpu.utils.synth import to_int8_iq
+    import io as _io
+
+    sig = get_signal("xona-x1p")
+    p = make_params(sig, 4.096e6, 0.0)
+    assert p.fll_wide_blocks == 0 and p.fll_narrow_blocks == 0
+    assert p.pll_k1 == 0.5 and p.pll_k2 == 15.0
+    fs = 4.096e6
+    x = make_iq(sig, 0, fs, 300, 41000.0, 200.0, cn0=55.0)
+    fp = _io.BytesIO(to_int8_iq(x, scale=24.0))
+    ch = TrackChannel(prn=0, doppler=41001.0, code_offset=200.0)
+    track_file(sig, fp, fs, 0.0, [ch])
+    cf = np.array([r["carrier_f"] for r in ch.rows[-30:]])
+    assert abs(np.mean(cf) - 41000.0) < 3.0, np.mean(cf)
