@@ -60,13 +60,13 @@ def bench_tpu(sig, x, prns, dops_cfg, ms):
     import jax as _jax
 
     def run():
-        # DEFAULT precision: validated cells-identical to HIGHEST on this
-        # workload (tools/perf_acquire.py); the planted-PRN assert below
-        # re-validates every bench run
+        # bf16-storage pipeline: validated cells-identical to HIGHEST on
+        # this workload (tools/perf_acquire.py); the planted-PRN assert
+        # below re-validates every bench run
         out = eng.grid_search(
             xs, code_ffts, fixed_j, valid_j, n=n, window=window,
             blocks=blocks, peak_mean=True, dop_chunk=dop_chunk,
-            precision=_jax.lax.Precision.DEFAULT,
+            precision=_jax.lax.Precision.DEFAULT, bf16=True,
         )
         # force full device->host sync: jax.block_until_ready is a no-op
         # on the axon backend, so timing must read the results back

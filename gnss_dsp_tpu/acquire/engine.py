@@ -61,7 +61,7 @@ def block_windows(x, n: int, window: int, blocks: int):
     return (jnp.take(x[0], idx), jnp.take(x[1], idx))
 
 
-def chunk_q(xb, code_ffts, w, precision):
+def chunk_q(xb, code_ffts, w, precision, bf16: bool = False):
     """Non-coherent grid for one doppler chunk: q [P, DC, W].
 
     xb [B, W] block windows; code_ffts [P, W]; w [DC, W] oscillators.
@@ -76,24 +76,29 @@ def chunk_q(xb, code_ffts, w, precision):
     F = fft.fft(cplx.cmul(
         (xb[0][None, :, :], xb[1][None, :, :]),
         (w[0][:, None, :], w[1][:, None, :]),
-    ), precision=precision)                                # [DC, B, W]
+    ), precision=precision, bf16=bf16)                     # [DC, B, W]
+    cf = code_ffts
+    if bf16:
+        cf = (cf[0].astype(jnp.bfloat16), cf[1].astype(jnp.bfloat16))
     prod = cplx.cmul_conj(
-        (code_ffts[0][:, None, None, :], code_ffts[1][:, None, None, :]),
+        (cf[0][:, None, None, :], cf[1][:, None, None, :]),
         (F[0][None, :, :, :], F[1][None, :, :, :]),
     )
-    R = fft.ifft(prod, precision=precision)                # [P, DC, B, W]
-    return jnp.sum(cplx.cabs(R), axis=2)                   # [P, DC, W]
+    R = fft.ifft(prod, precision=precision, bf16=bf16)     # [P, DC, B, W]
+    mag = jnp.sqrt(R[0].astype(jnp.float32) ** 2
+                   + R[1].astype(jnp.float32) ** 2)
+    return jnp.sum(mag, axis=2)                            # [P, DC, W]
 
 
 @partial(
     jax.jit,
     static_argnames=("n", "window", "blocks", "peak_mean", "dop_chunk",
-                     "precision"),
+                     "precision", "bf16"),
 )
 def grid_search(x, code_ffts, dopp_fixed, dopp_valid,
                 n: int, window: int, blocks: int,
                 peak_mean: bool, dop_chunk: int,
-                precision=jax.lax.Precision.HIGHEST):
+                precision=jax.lax.Precision.HIGHEST, bf16: bool = False):
     """Search the full grid; returns per-PRN (metric, code_idx, dop_idx).
 
     x          : split-complex [>= (blocks-1)*n + window] internal-rate samples
@@ -115,7 +120,7 @@ def grid_search(x, code_ffts, dopp_fixed, dopp_valid,
         valid = jax.lax.dynamic_slice(dopp_valid, (d0,), (dop_chunk,))
         w = jax.vmap(lambda f: nco.nco_split(f, zero_p, window))(df)  # [DC, W]
 
-        q = chunk_q(xb, code_ffts, w, precision)
+        q = chunk_q(xb, code_ffts, w, precision, bf16)
 
         peak = jnp.max(q, axis=-1)                                    # [P, DC]
         code_idx = jnp.argmax(q, axis=-1).astype(jnp.int32)
@@ -169,15 +174,17 @@ def doppler_grid(sig, doppler_search, chan: int = 0):
 
 def acquire_signal(sig, x_int, prns, doppler_search=None, ms: int = 80,
                    chan: int = 0, dop_chunk: int | None = None,
-                   precision=jax.lax.Precision.HIGHEST):
+                   precision=jax.lax.Precision.HIGHEST, bf16: bool = False):
     """Run acquisition for one signal over `prns`.
 
     x_int: internal-rate samples covering >= ms+2 ms — host complex array
     or split-complex pair.
     precision: matmul precision for the DFT stages.  HIGHEST is exact
-    f32; DEFAULT (bf16 operands, f32 accumulate) is ~9% faster on v5e
-    with ~1e-3 relative metric error — peaks/cells unchanged in every
-    validation run (tools/perf_acquire.py).
+    f32; DEFAULT (bf16 operands, f32 accumulate) adds ~1e-3 relative
+    metric error.  bf16=True additionally stores inter-stage tensors in
+    bfloat16 (~40% faster end to end, ~2.4e-3 metric error) — peaks and
+    winning cells unchanged in every validation run
+    (tools/perf_acquire.py).
     Returns list[AcqResult] in PRN order.
     """
     doppler_search = doppler_search or sig.doppler_default
@@ -203,7 +210,7 @@ def acquire_signal(sig, x_int, prns, doppler_search=None, ms: int = 80,
         x, code_ffts, jnp.asarray(fixed_p), jnp.asarray(valid),
         n=n, window=window, blocks=blocks,
         peak_mean=(sig.acq_metric == "peak_mean"),
-        dop_chunk=dop_chunk, precision=precision,
+        dop_chunk=dop_chunk, precision=precision, bf16=bf16,
     )
     metric = np.asarray(metric)
     code_idx = np.asarray(code_idx)

@@ -41,21 +41,21 @@ def _best_split(n: int) -> int:
 
 
 @lru_cache(maxsize=64)
-def _dft_matrix(n: int, sign: int):
-    """Split DFT matrix W[j,k] = exp(sign*2i*pi*j*k/n), f32 numpy constants
+def _dft_matrix(n: int, sign: int, dtype=np.float32):
+    """Split DFT matrix W[j,k] = exp(sign*2i*pi*j*k/n), numpy constants
     (numpy, not jnp: device constants must not be cached across traces)."""
     j = np.arange(n)
     w = np.exp(sign * 2j * np.pi * np.outer(j, j) / n)
-    return w.real.astype(np.float32), w.imag.astype(np.float32)
+    return w.real.astype(dtype), w.imag.astype(dtype)
 
 
 @lru_cache(maxsize=64)
-def _twiddle(n1: int, n2: int, sign: int):
-    """Twiddle W_n^{k1*j2}, shape [n1, n2], f32 numpy constants."""
+def _twiddle(n1: int, n2: int, sign: int, dtype=np.float32):
+    """Twiddle W_n^{k1*j2}, shape [n1, n2], numpy constants."""
     k1 = np.arange(n1)[:, None]
     j2 = np.arange(n2)[None, :]
     w = np.exp(sign * 2j * np.pi * k1 * j2 / (n1 * n2))
-    return w.real.astype(np.float32), w.imag.astype(np.float32)
+    return w.real.astype(dtype), w.imag.astype(dtype)
 
 
 def _cmatmul_last(x, m, precision):
@@ -75,10 +75,10 @@ def _cmatmul_last(x, m, precision):
     return (m1 - m2, m1 + m3)
 
 
-def _dft_last(x, n: int, sign: int, precision):
+def _dft_last(x, n: int, sign: int, precision, dtype=np.float32):
     """DFT along the last axis (length n), recursive four-step."""
     if n <= MAX_DIRECT:
-        return _cmatmul_last(x, _dft_matrix(n, sign), precision)
+        return _cmatmul_last(x, _dft_matrix(n, sign, dtype), precision)
     n1 = _best_split(n)
     if n1 == 1:
         raise ValueError(
@@ -91,24 +91,43 @@ def _dft_last(x, n: int, sign: int, precision):
     x = cplx.reshape(x, batch + (n1, n2))
     # DFT over j1 (axis -2): move to last, transform, move back
     x = (jnp.swapaxes(x[0], -1, -2), jnp.swapaxes(x[1], -1, -2))   # [.., n2, n1]
-    x = _dft_last(x, n1, sign, precision)                          # k1 on last
+    x = _dft_last(x, n1, sign, precision, dtype)                   # k1 on last
     x = (jnp.swapaxes(x[0], -1, -2), jnp.swapaxes(x[1], -1, -2))   # [.., k1, j2]
     # twiddle
-    x = cplx.cmul(x, _twiddle(n1, n2, sign))
+    x = cplx.cmul(x, _twiddle(n1, n2, sign, dtype))
     # DFT over j2 (last axis)
-    x = _dft_last(x, n2, sign, precision)                          # [.., k1, k2]
+    x = _dft_last(x, n2, sign, precision, dtype)                   # [.., k1, k2]
     # out[k] with k = k1 + n1*k2 -> transpose to [.., k2, k1] then flatten
     x = (jnp.swapaxes(x[0], -1, -2), jnp.swapaxes(x[1], -1, -2))
     return cplx.reshape(x, batch + (n,))
 
 
-def fft(x, precision=jax.lax.Precision.HIGHEST):
-    """Forward DFT along the last axis of split-complex x."""
+def fft(x, precision=jax.lax.Precision.HIGHEST, bf16: bool = False):
+    """Forward DFT along the last axis of split-complex x.
+
+    bf16=True keeps the inter-stage tensors (and DFT/twiddle constants)
+    in bfloat16 — halves the stage-copy HBM traffic that dominates big
+    batched transforms, at ~0.5% amplitude error (matmul accumulation
+    stays f32 on the MXU).  Output stays bf16; cast at the consumer."""
+    if bf16:
+        x = (x[0].astype(jnp.bfloat16), x[1].astype(jnp.bfloat16))
+        return _dft_last(x, x[0].shape[-1], -1, precision, ml_dtypes_bf16())
     return _dft_last(x, x[0].shape[-1], -1, precision)
 
 
-def ifft(x, precision=jax.lax.Precision.HIGHEST):
+def ifft(x, precision=jax.lax.Precision.HIGHEST, bf16: bool = False):
     """Inverse DFT (with 1/n scaling) along the last axis."""
     n = x[0].shape[-1]
+    if bf16:
+        x = (x[0].astype(jnp.bfloat16), x[1].astype(jnp.bfloat16))
+        y = _dft_last(x, n, +1, precision, ml_dtypes_bf16())
+        return cplx.scale(y, jnp.bfloat16(1.0 / n))
     y = _dft_last(x, n, +1, precision)
     return cplx.scale(y, 1.0 / n)
+
+
+@lru_cache(maxsize=1)
+def ml_dtypes_bf16():
+    import ml_dtypes
+
+    return ml_dtypes.bfloat16

@@ -34,17 +34,17 @@ def main():
     cells = len(prns) * D * n * ms
 
     ref = None
-    for name, prec, dc in (
-        ("HIGHEST dc7", jax.lax.Precision.HIGHEST, 7),
-        ("HIGH dc7", jax.lax.Precision.HIGH, 7),
-        ("DEFAULT dc7", jax.lax.Precision.DEFAULT, 7),
-        ("DEFAULT dc14", jax.lax.Precision.DEFAULT, 14),
-        ("DEFAULT dc35", jax.lax.Precision.DEFAULT, 35),
+    for name, prec, dc, b16 in (
+        ("HIGHEST dc7", jax.lax.Precision.HIGHEST, 7, False),
+        ("DEFAULT dc7", jax.lax.Precision.DEFAULT, 7, False),
+        ("bf16 dc7", jax.lax.Precision.DEFAULT, 7, True),
+        ("bf16 dc14", jax.lax.Precision.DEFAULT, 14, True),
+        ("bf16 dc35", jax.lax.Precision.DEFAULT, 35, True),
     ):
         def run():
             out = eng.grid_search(xs, code_ffts, fj, vj, n=n, window=n,
                                   blocks=ms, peak_mean=True, dop_chunk=dc,
-                                  precision=prec)
+                                  precision=prec, bf16=b16)
             return tuple(np.asarray(o) for o in out)
 
         out = run()
