@@ -12,6 +12,7 @@ Output rows are byte-compatible with the reference workers
 from __future__ import annotations
 
 import optparse
+import os
 import sys
 
 import numpy as np
@@ -36,6 +37,12 @@ def _fmt_row(sig, r) -> str:
 
 
 def main(signal: str, argv=None) -> int:
+    if os.environ.get("GNSS_DSP_CPU"):
+        # deterministic local compiles (e.g. parity tests); must run
+        # before the first backend use
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     sig = get_signal(signal)
     if sig.acq_serial:
         return _main_serial(sig, argv)

@@ -13,6 +13,7 @@ Supports multiple channels at once via comma syntax "21:2400:817.5,5:..."
 from __future__ import annotations
 
 import optparse
+import os
 import sys
 
 from gnss_dsp_tpu.models import get_signal
@@ -22,6 +23,12 @@ from gnss_dsp_tpu.track.driver import (
 
 
 def main(signal: str, argv=None) -> int:
+    if os.environ.get("GNSS_DSP_CPU"):
+        # deterministic local compiles (e.g. parity tests); must run
+        # before the first backend use
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     sig = get_signal(signal)
     fdma = bool(sig.fdma_hz)
     label = "chan" if fdma else "prn"

@@ -50,9 +50,12 @@ def run_ref(script, args):
 
 
 def run_ours(script, args):
+    # CPU backend: local, deterministic compile times (the tunneled TPU
+    # remote-compile service has minute-scale latency variance)
+    env = dict(os.environ, GNSS_DSP_CPU="1")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", script)] + args,
-        capture_output=True, text=True, timeout=600)
+        capture_output=True, text=True, timeout=600, env=env)
     assert out.returncode == 0, out.stderr[-2000:]
     return out.stdout.strip().splitlines()
 
@@ -93,22 +96,22 @@ def test_track_gps_l1_matches_reference(tmp_path):
 
     sig = get_signal("gps-l1")
     fs, coffset = 4.096e6, 5000.0
-    path = make_file(tmp_path, sig, prn=21, fs=fs, ms=260, doppler=2400.0,
+    path = make_file(tmp_path, sig, prn=21, fs=fs, ms=170, doppler=2400.0,
                      code_phase=817.5, coffset=coffset, cn0=50.0)
-    args = ["--loop-dwells", "60,60", path, "%d" % fs, "%d" % coffset,
+    args = ["--loop-dwells", "50,50", path, "%d" % fs, "%d" % coffset,
             "21", "2400", "817.5"]
     ref_rows = run_ref("track-gps-l1.py", args)
     our_rows = run_ours("track-gps-l1.py",
-                        ["--blocks", "250"] + args)
+                        ["--blocks", "160"] + args)
     nb = min(len(ref_rows), len(our_rows))
-    assert nb >= 240, (len(ref_rows), len(our_rows))
+    assert nb >= 150, (len(ref_rows), len(our_rows))
 
     ref = np.array([[float(v) for v in r.split()] for r in ref_rows[:nb]])
     ours = np.array([[float(v) for v in r.split()] for r in our_rows[:nb]])
-    # col 3 = carrier_f: same convergence within 2 Hz over the last 50
-    assert abs(np.mean(ref[-50:, 3]) - np.mean(ours[-50:, 3])) < 2.0
+    # col 3 = carrier_f: same convergence within 2 Hz over the last 30
+    assert abs(np.mean(ref[-30:, 3]) - np.mean(ours[-30:, 3])) < 2.0
     # col 10 = code_p: phase trajectories aligned within 0.05 chips
-    dcp = (ref[-50:, 10] - ours[-50:, 10] + 511.5) % 1023 - 511.5
+    dcp = (ref[-30:, 10] - ours[-30:, 10] + 511.5) % 1023 - 511.5
     assert np.max(np.abs(dcp)) < 0.05, dcp[:5]
     # col 7 = prompt magnitude: same signal power within 5%
-    assert abs(np.mean(ref[-50:, 7]) / np.mean(ours[-50:, 7]) - 1) < 0.05
+    assert abs(np.mean(ref[-30:, 7]) / np.mean(ours[-30:, 7]) - 1) < 0.05
