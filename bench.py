@@ -51,8 +51,11 @@ def bench_tpu(sig, x, prns, dops_cfg, ms):
     blocks = ms
     dops, fixed = eng.doppler_grid(sig, dops_cfg)
     D = len(dops)
-    dop_chunk = 7  # [P, DC, B, W] surfaces: 7 bins x 80 blocks ~ 300 MB
-    code_ffts = cplx.from_numpy(eng.build_code_ffts(sig, prns, n, window))
+    dop_chunk = 14
+    from gnss_dsp_tpu.ops import pallas_acquire as pa
+
+    code_ffts = cplx.from_numpy(
+        pa.permute_host(eng.build_code_ffts(sig, prns, n, window)))
     xs = cplx.from_numpy(x)
     fixed_j = jnp.asarray(fixed)
     valid_j = jnp.ones(D, bool)
@@ -60,13 +63,13 @@ def bench_tpu(sig, x, prns, dops_cfg, ms):
     import jax as _jax
 
     def run():
-        # bf16-storage pipeline: validated cells-identical to HIGHEST on
-        # this workload (tools/perf_acquire.py); the planted-PRN assert
-        # below re-validates every bench run
+        # fused Pallas correlation-surface kernel (the production TPU
+        # path, acquire_signal engine="auto"); the planted-PRN assert
+        # below re-validates peaks/cells every bench run
         out = eng.grid_search(
             xs, code_ffts, fixed_j, valid_j, n=n, window=window,
             blocks=blocks, peak_mean=True, dop_chunk=dop_chunk,
-            precision=_jax.lax.Precision.DEFAULT, bf16=True,
+            precision=_jax.lax.Precision.DEFAULT, fused=True, fused_bt=40,
         )
         # force full device->host sync: jax.block_until_ready is a no-op
         # on the axon backend, so timing must read the results back

@@ -90,15 +90,33 @@ def chunk_q(xb, code_ffts, w, precision, bf16: bool = False):
     return jnp.sum(mag, axis=2)                            # [P, DC, W]
 
 
+def chunk_q_fused(xb_pad, code_f_perm, w, bt: int):
+    """q [P, DC, W] via the fused Pallas surface kernel — the code-phase
+    axis arrives PERMUTED (ops/pallas_acquire order); the caller converts
+    winning argmax indices with pallas_acquire.perm_to_natural_index."""
+    from gnss_dsp_tpu.ops import pallas_acquire as pa
+
+    W = xb_pad[0].shape[-1]
+    n1, n2 = pa.plan2(W)
+    xw = cplx.cmul(
+        (xb_pad[0][None, :, :], xb_pad[1][None, :, :]),
+        (w[0][:, None, :], w[1][:, None, :]),
+    )
+    F = fft.fft_two_level_perm(xw, bf16=True)
+    F = (F[0].astype(jnp.bfloat16), F[1].astype(jnp.bfloat16))
+    return pa.corr_surface(F, code_f_perm, n1=n1, n2=n2, bt=bt)
+
+
 @partial(
     jax.jit,
     static_argnames=("n", "window", "blocks", "peak_mean", "dop_chunk",
-                     "precision", "bf16"),
+                     "precision", "bf16", "fused", "fused_bt"),
 )
 def grid_search(x, code_ffts, dopp_fixed, dopp_valid,
                 n: int, window: int, blocks: int,
                 peak_mean: bool, dop_chunk: int,
-                precision=jax.lax.Precision.HIGHEST, bf16: bool = False):
+                precision=jax.lax.Precision.HIGHEST, bf16: bool = False,
+                fused: bool = False, fused_bt: int = 0):
     """Search the full grid; returns per-PRN (metric, code_idx, dop_idx).
 
     x          : split-complex [>= (blocks-1)*n + window] internal-rate samples
@@ -112,6 +130,15 @@ def grid_search(x, code_ffts, dopp_fixed, dopp_valid,
     n_chunks = Dp // dop_chunk
     zero_p = jnp.zeros((), jnp.uint32)
     xb = block_windows(x, n, window, blocks)
+    if fused:
+        # pad block rows to a multiple of the kernel's block group (zero
+        # rows contribute exactly zero to the non-coherent sum)
+        pad_b = (-blocks) % fused_bt
+        if pad_b:
+            xb = (jnp.pad(xb[0], ((0, pad_b), (0, 0))),
+                  jnp.pad(xb[1], ((0, pad_b), (0, 0))))
+        code_ffts = (code_ffts[0].astype(jnp.bfloat16),
+                     code_ffts[1].astype(jnp.bfloat16))
 
     def chunk_body(carry, ci):
         best_metric, best_code, best_dop = carry
@@ -120,7 +147,10 @@ def grid_search(x, code_ffts, dopp_fixed, dopp_valid,
         valid = jax.lax.dynamic_slice(dopp_valid, (d0,), (dop_chunk,))
         w = jax.vmap(lambda f: nco.nco_split(f, zero_p, window))(df)  # [DC, W]
 
-        q = chunk_q(xb, code_ffts, w, precision, bf16)
+        if fused:
+            q = chunk_q_fused(xb, code_ffts, w, fused_bt)
+        else:
+            q = chunk_q(xb, code_ffts, w, precision, bf16)
 
         peak = jnp.max(q, axis=-1)                                    # [P, DC]
         code_idx = jnp.argmax(q, axis=-1).astype(jnp.int32)
@@ -172,9 +202,24 @@ def doppler_grid(sig, doppler_search, chan: int = 0):
     return dops, fixed
 
 
+def _fused_ok(window: int) -> bool:
+    import jax as _jax
+
+    if _jax.default_backend() == "cpu":
+        return False
+    try:
+        from gnss_dsp_tpu.ops import pallas_acquire as pa
+
+        pa.plan2(window)
+        return True
+    except ValueError:
+        return False
+
+
 def acquire_signal(sig, x_int, prns, doppler_search=None, ms: int = 80,
                    chan: int = 0, dop_chunk: int | None = None,
-                   precision=jax.lax.Precision.HIGHEST, bf16: bool = False):
+                   precision=jax.lax.Precision.HIGHEST, bf16: bool = False,
+                   engine: str = "auto"):
     """Run acquisition for one signal over `prns`.
 
     x_int: internal-rate samples covering >= ms+2 ms — host complex array
@@ -185,12 +230,16 @@ def acquire_signal(sig, x_int, prns, doppler_search=None, ms: int = 80,
     bfloat16 (~40% faster end to end, ~2.4e-3 metric error) — peaks and
     winning cells unchanged in every validation run
     (tools/perf_acquire.py).
+    engine: "fused" (Pallas correlation-surface kernel, ~1.6x the bf16
+    XLA path on v5e), "xla", or "auto" (fused on accelerator backends).
     Returns list[AcqResult] in PRN order.
     """
     doppler_search = doppler_search or sig.doppler_default
     n = int(round(sig.acq_fs * sig.acq_coherent_ms / 1000.0))
     window = 2 * n if (sig.acq_pad2 or sig.acq_sliding) else n
     blocks = _block_count(sig, ms)
+    use_fused = (engine == "fused"
+                 or (engine == "auto" and _fused_ok(window)))
     dops, fixed = doppler_grid(sig, doppler_search, chan)
 
     if dop_chunk is None:
@@ -204,16 +253,27 @@ def acquire_signal(sig, x_int, prns, doppler_search=None, ms: int = 80,
     valid = np.zeros(Dp, bool)
     valid[: len(fixed)] = True
 
-    code_ffts = cplx.from_numpy(build_code_ffts(sig, prns, n, window))
+    cf_host = build_code_ffts(sig, prns, n, window)
+    if use_fused:
+        from gnss_dsp_tpu.ops import pallas_acquire as pa
+
+        cf_host = pa.permute_host(cf_host)
+        fused_bt = min(blocks, 40)
+    else:
+        fused_bt = 0
+    code_ffts = cplx.from_numpy(cf_host)
     x = cplx.from_numpy(x_int) if not isinstance(x_int, tuple) else x_int
     metric, code_idx, dop_idx = grid_search(
         x, code_ffts, jnp.asarray(fixed_p), jnp.asarray(valid),
         n=n, window=window, blocks=blocks,
         peak_mean=(sig.acq_metric == "peak_mean"),
         dop_chunk=dop_chunk, precision=precision, bf16=bf16,
+        fused=use_fused, fused_bt=fused_bt,
     )
     metric = np.asarray(metric)
     code_idx = np.asarray(code_idx)
+    if use_fused:
+        code_idx = pa.perm_to_natural_index(code_idx, window)
     dop_idx = np.asarray(dop_idx)
     out = []
     for i, prn in enumerate(prns):

@@ -131,3 +131,26 @@ def ml_dtypes_bf16():
     import ml_dtypes
 
     return ml_dtypes.bfloat16
+
+
+def fft_two_level_perm(x, precision=jax.lax.Precision.HIGHEST,
+                       bf16: bool = False):
+    """Forward DFT for two-level sizes, output flat in PERMUTED order
+    p = k1*n2 + k2 (the natural four-step layout before its final
+    transpose) — feeds ops/pallas_acquire.corr_surface, which consumes
+    exactly this order."""
+    n = x[0].shape[-1]
+    n1 = _best_split(n)
+    n2 = n // n1
+    assert 2 <= n1 <= MAX_DIRECT and n2 <= MAX_DIRECT, (n1, n2)
+    dtype = ml_dtypes_bf16() if bf16 else np.float32
+    if bf16:
+        x = (x[0].astype(jnp.bfloat16), x[1].astype(jnp.bfloat16))
+    batch = x[0].shape[:-1]
+    x = cplx.reshape(x, batch + (n1, n2))
+    x = (jnp.swapaxes(x[0], -1, -2), jnp.swapaxes(x[1], -1, -2))
+    x = _cmatmul_last(x, _dft_matrix(n1, -1, dtype), precision)
+    x = (jnp.swapaxes(x[0], -1, -2), jnp.swapaxes(x[1], -1, -2))
+    x = cplx.cmul(x, _twiddle(n1, n2, -1, dtype))
+    x = _cmatmul_last(x, _dft_matrix(n2, -1, dtype), precision)
+    return cplx.reshape(x, batch + (n,))

@@ -115,3 +115,35 @@ def test_kernel_matches_oracle(sub, rng):
 
     scale = np.abs(oracle_out).max()
     np.testing.assert_allclose(got, oracle_out, atol=8e-3 * scale, rtol=2e-2)  # bf16 one-hot/m operands
+
+
+def test_corr_surface_matches_numpy(rng):
+    """Fused acquisition surface kernel (ops/pallas_acquire) vs a numpy
+    FFT oracle, interpret mode."""
+    import jax.numpy as jnp
+    from gnss_dsp_tpu.ops import pallas_acquire as pa
+    from gnss_dsp_tpu.ops import fft as fftm, cplx
+
+    W, P, DC, B, bt = 4096, 3, 2, 8, 4
+    n1, n2 = pa.plan2(W)
+    x = rng.standard_normal((DC, B, W)) + 1j * rng.standard_normal((DC, B, W))
+    c = rng.standard_normal((P, W)) + 1j * rng.standard_normal((P, W))
+
+    F_ref = np.fft.fft(x, axis=-1)
+    C_ref = np.fft.fft(c, axis=-1)
+    R = np.fft.ifft(C_ref[:, None, None, :] * np.conj(F_ref)[None], axis=-1)
+    q_want = np.abs(R).sum(axis=2)
+
+    xs = cplx.from_numpy(x)
+    Fp = fftm.fft_two_level_perm(xs, bf16=True)
+    Cp = pa.permute_host(C_ref)
+    code_f = (jnp.asarray(Cp.real.astype(np.float32)).astype(jnp.bfloat16),
+              jnp.asarray(Cp.imag.astype(np.float32)).astype(jnp.bfloat16))
+    F16 = (Fp[0].astype(jnp.bfloat16), Fp[1].astype(jnp.bfloat16))
+    q = np.asarray(pa.corr_surface(F16, code_f, n1=n1, n2=n2, bt=bt,
+                                   interpret=True))
+    j = pa.perm_to_natural_index(np.arange(W), W)
+    q_nat = np.empty_like(q)
+    q_nat[..., j] = q
+    err = np.abs(q_nat - q_want) / np.abs(q_want).max()
+    assert err.max() < 2e-2, err.max()
