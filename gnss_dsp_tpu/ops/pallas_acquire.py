@@ -144,17 +144,17 @@ def _kernel(fr_ref, fi_ref, cr_ref, ci_ref,
     ar2 = (ar * twrf[None, :, :] - ai * twif[None, :, :]).astype(jnp.bfloat16)
     ai2 = (ar * twif[None, :, :] + ai * twrf[None, :, :]).astype(jnp.bfloat16)
 
-    # stage B: contract k1 -> [bt, j2, j1] (minor-dim transpose then a
-    # plain last-axis matmul — measured faster than a middle-axis
-    # dot_general on Mosaic)
-    br = jnp.swapaxes(ar2, 1, 2)
-    bi = jnp.swapaxes(ai2, 1, 2)
+    # stage B: contract k1 (middle axis) -> [bt, j2, j1]; a middle-axis
+    # dot_general avoids the in-kernel transpose, which Mosaic rejects
+    # for non-tile-aligned (n1, n2)
+    dn = (((1,), (0,)), ((), ()))
 
     def dg(a, m):
-        return jnp.dot(a, m, preferred_element_type=jnp.float32)
+        return jax.lax.dot_general(a, m, dimension_numbers=dn,
+                                   preferred_element_type=jnp.float32)
 
-    xr = dg(br, w1r) - dg(bi, w1i)
-    xi2 = dg(br, w1i) + dg(bi, w1r)
+    xr = dg(ar2, w1r) - dg(ai2, w1i)
+    xi2 = dg(ar2, w1i) + dg(ai2, w1r)
     mag = jnp.sqrt(xr * xr + xi2 * xi2)           # [bt, j2, j1]
     acc[:, :] = acc[:, :] + jnp.sum(mag, axis=0)
 
