@@ -40,7 +40,6 @@ def synth_sky(sig, fs: float, n: int) -> np.ndarray:
 
 
 def bench_tpu(sig, x, prns, dops_cfg, ms):
-    import jax
     import jax.numpy as jnp
 
     from gnss_dsp_tpu.acquire import engine as eng

@@ -15,8 +15,6 @@ import optparse
 import os
 import sys
 
-import numpy as np
-
 from gnss_dsp_tpu.models import get_signal
 from gnss_dsp_tpu.acquire.engine import acquire_signal
 from gnss_dsp_tpu.acquire.serial import serial_search

@@ -19,7 +19,7 @@ GPS L1 acquisition is ~15 TFLOP of DFT work.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import numpy as np
 import jax

@@ -32,7 +32,7 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-from gnss_dsp_tpu.ops import cplx, fft, nco
+from gnss_dsp_tpu.ops import cplx, nco
 from gnss_dsp_tpu.acquire import engine as _eng
 
 

@@ -15,8 +15,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from gnss_dsp_tpu.ops import nco
-
 
 @partial(jax.jit, static_argnames=("n_lags", "subcarrier", "code_length"))
 def correlation_shape(x, code_tab, code_p, cf, lag_spacing, n_lags: int,
