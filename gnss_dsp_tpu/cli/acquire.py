@@ -16,7 +16,7 @@ import os
 import sys
 
 from gnss_dsp_tpu.models import get_signal
-from gnss_dsp_tpu.acquire.engine import acquire_signal
+from gnss_dsp_tpu.acquire.engine import acquire_signal, acquire_signal_fdma
 from gnss_dsp_tpu.acquire.serial import serial_search
 from gnss_dsp_tpu.ops.frontend import prepare_baseband, mix_long
 from gnss_dsp_tpu.ops import cplx
@@ -75,12 +75,10 @@ def main(signal: str, argv=None) -> int:
     xb = prepare_baseband(x, fs, coffset, sig.acq_fs, sig.acq_lowpass_hz,
                           ms + 2)
     if fdma:
-        # FDMA: channel offsets fold into the doppler NCO per channel, so
-        # each channel is its own grid search over the shared m-sequence
-        for chan in prns:
-            r = acquire_signal(sig, xb, [chan], doppler_search=dops, ms=ms,
-                               chan=chan)[0]
-            r.prn = chan
+        # all channels in one grid program (each channel's band is one
+        # doppler chunk of the shared m-sequence search)
+        for r in acquire_signal_fdma(sig, xb, prns, doppler_search=dops,
+                                     ms=ms):
             print(_fmt_row(sig, r))
         return 0
 

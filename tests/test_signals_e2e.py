@@ -241,3 +241,39 @@ def test_track_xona_pll_start():
     track_file(sig, fp, fs, 0.0, [ch])
     cf = np.array([r["carrier_f"] for r in ch.rows[-30:]])
     assert abs(np.mean(cf) - 41000.0) < 3.0, np.mean(cf)
+
+
+def test_acquire_glonass_fdma_batched():
+    """All 15 FDMA channels in one grid program == the per-channel loop."""
+    from gnss_dsp_tpu.acquire.engine import acquire_signal_fdma
+
+    sig = get_signal("glonass-l1")
+    chans = list(range(-3, 4))
+    live = {-2: (1200.0, 300.0), 2: (-900.0, 77.0)}
+    fs = sig.acq_fs
+    ms = 16
+    n = int(fs * (ms + 3) / 1000)
+    x = np.zeros(n, np.complex64)
+    for chan, (dop, cp) in live.items():
+        x += make_iq(sig, 0, fs, ms + 3, dop, cp, chan=chan)
+    res = acquire_signal_fdma(sig, x, chans,
+                              doppler_search=(-2000.0, 2000.0, 200.0), ms=ms)
+    assert [r.prn for r in res] == chans
+    for r in res:
+        if r.prn in live:
+            dop, cp = live[r.prn]
+            assert abs(r.doppler - dop) <= 200.0, r
+            err = min(abs(r.code_offset - cp), 511 - abs(r.code_offset - cp))
+            assert err <= 1.0, r
+    # live channels must out-metric the dead ones
+    dead_max = max(r.metric for r in res if r.prn not in live)
+    for chan in live:
+        assert next(r.metric for r in res if r.prn == chan) > 1.5 * dead_max
+    # matches the per-channel loop exactly
+    for chan in live:
+        single = acquire_signal(sig, x, [0],
+                                doppler_search=(-2000.0, 2000.0, 200.0),
+                                ms=ms, chan=chan)[0]
+        batched = next(r for r in res if r.prn == chan)
+        assert single.doppler == batched.doppler
+        assert single.code_offset == batched.code_offset
