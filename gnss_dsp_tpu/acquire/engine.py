@@ -210,8 +210,12 @@ def doppler_grid(sig, doppler_search, chan: int = 0):
 
 
 def _fused_ok(window: int) -> bool:
+    import os
+
     import jax as _jax
 
+    if os.environ.get("GNSS_DSP_NO_PALLAS"):
+        return False
     if _jax.default_backend() == "cpu":
         return False
     try:

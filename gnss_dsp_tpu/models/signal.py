@@ -35,7 +35,7 @@ class Signal:
     acq_sliding: bool = False      # 2-block sliding windows (Galileo E1)
     acq_lowpass_hz: float = 1.5e6  # front-end FIR cutoff
     acq_ms_default: int = 80       # --time default
-    acq_metric: str = "peak_mean"  # "peak_mean" (gps-l1/xona) or "peak"
+    acq_metric: str = "peak"       # "peak_mean" only for gps-l1/xona (acquire-gps-l1.py:35)
     acq_blocks_override: int = 0   # b2ad quirk: hardcoded 80 blocks
     doppler_default: tuple = (-7000.0, 7000.0, 200.0)
     fdma_hz: float = 0.0           # doppler grid offset per channel (GLONASS)

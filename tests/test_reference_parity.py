@@ -115,3 +115,53 @@ def test_track_gps_l1_matches_reference(tmp_path):
     assert np.max(np.abs(dcp)) < 0.05, dcp[:5]
     # col 7 = prompt magnitude: same signal power within 5%
     assert abs(np.mean(ref[-30:, 7]) / np.mean(ours[-30:, 7]) - 1) < 0.05
+
+
+def test_acquire_beidou_b1i_matches_reference(tmp_path):
+    """The 2n-zero-padded sliding template (acquire-beidou-b1i.py)."""
+    from gnss_dsp_tpu.models import get_signal
+
+    sig = get_signal("beidou-b1i")
+    fs, coffset = 8.192e6, -7000.0
+    path = make_file(tmp_path, sig, prn=34, fs=fs, ms=30, doppler=-600.0,
+                     code_phase=562.2, coffset=coffset)
+    args = ["--prn", "34", "--doppler-search", "-1400,400,200",
+            "--time", "20", path, "%d" % fs, "%d" % coffset]
+    ref_rows = run_ref("acquire-beidou-b1i.py", args)
+    our_rows = run_ours("acquire-beidou-b1i.py", args)
+    rt = ref_rows[0].split()
+    ot = our_rows[0].split()
+    assert rt[1] == ot[1]                                   # prn
+    assert float(rt[3]) == float(ot[3]), (ref_rows, our_rows)  # doppler
+    assert abs(float(rt[7]) - float(ot[7])) <= 0.51, (ref_rows, our_rows)
+    assert abs(float(rt[5]) - float(ot[5])) / float(rt[5]) < 0.05
+
+
+def test_track_galileo_e1b_matches_reference(tmp_path):
+    """CBOC tracking with 4 sub-blocks per 4 ms period
+    (track-galileo-e1b.py) — 9-column rows."""
+    from gnss_dsp_tpu.models import get_signal
+    from gnss_dsp_tpu.utils.synth import synth_iq, to_int8_iq
+
+    sig = get_signal("galileo-e1b")
+    fs, coffset = 8.192e6, 3000.0
+    n = int(fs * 0.100)
+    x = synth_iq(sig.code_table((24,))[0], sig.chip_rate, fs, n,
+                 doppler_hz=250.0, code_phase=2838.0, cn0_dbhz=50.0,
+                 carrier_ratio=1540.0, subcarrier="cboc",
+                 rng=np.random.default_rng(4))
+    x = x * np.exp(2j * np.pi * coffset / fs * np.arange(n))
+    path = os.path.join(tmp_path, "e1b.iq")
+    with open(path, "wb") as f:
+        f.write(to_int8_iq(x, scale=18.0))
+    args = ["--loop-dwells", "30,30", path, "%d" % fs, "%d" % coffset,
+            "24", "250.0", "2838.00"]
+    ref_rows = run_ref("track-galileo-e1b.py", args)
+    our_rows = run_ours("track-galileo-e1b.py", ["--blocks", "90"] + args)
+    nb = min(len(ref_rows), len(our_rows))
+    assert nb >= 80, (len(ref_rows), len(our_rows))
+    ref = np.array([[float(v) for v in r.split()] for r in ref_rows[:nb]])
+    ours = np.array([[float(v) for v in r.split()] for r in our_rows[:nb]])
+    assert ref.shape[1] == ours.shape[1] == 9           # 9-column format
+    assert abs(np.mean(ref[-25:, 3]) - np.mean(ours[-25:, 3])) < 3.0
+    assert abs(np.mean(ref[-25:, 7]) / np.mean(ours[-25:, 7]) - 1) < 0.05
