@@ -165,3 +165,23 @@ def test_track_galileo_e1b_matches_reference(tmp_path):
     assert ref.shape[1] == ours.shape[1] == 9           # 9-column format
     assert abs(np.mean(ref[-25:, 3]) - np.mean(ours[-25:, 3])) < 3.0
     assert abs(np.mean(ref[-25:, 7]) / np.mean(ours[-25:, 7]) - 1) < 0.05
+
+
+def test_acquire_gps_l5i_matches_reference(tmp_path):
+    """The 30.69 MHz upsampling front end + 2n-pad template
+    (acquire-gps-l5i.py) against the reference on a 61.44 MHz capture."""
+    from gnss_dsp_tpu.models import get_signal
+
+    sig = get_signal("gps-l5i")
+    fs, coffset = 61.44e6, -150000.0
+    path = make_file(tmp_path, sig, prn=25, fs=fs, ms=18, doppler=-1600.0,
+                     code_phase=9696.0, coffset=coffset, cn0=50.0, scale=14.0)
+    args = ["--prn", "25", "--doppler-search", "-2200,-1000,200",
+            "--time", "12", path, "%d" % fs, "%d" % coffset]
+    ref_rows = run_ref("acquire-gps-l5i.py", args)
+    our_rows = run_ours("acquire-gps-l5i.py", args)
+    rt = ref_rows[0].split()
+    ot = our_rows[0].split()
+    assert float(rt[3]) == float(ot[3]), (ref_rows, our_rows)
+    assert abs(float(rt[7]) - float(ot[7])) <= 0.5, (ref_rows, our_rows)
+    assert abs(float(rt[5]) - float(ot[5])) / float(rt[5]) < 0.05
