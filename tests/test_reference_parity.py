@@ -185,3 +185,59 @@ def test_acquire_gps_l5i_matches_reference(tmp_path):
     assert float(rt[3]) == float(ot[3]), (ref_rows, our_rows)
     assert abs(float(rt[7]) - float(ot[7])) <= 0.5, (ref_rows, our_rows)
     assert abs(float(rt[5]) - float(ot[5])) / float(rt[5]) < 0.05
+
+
+def test_acquire_l2cl_serial_matches_reference(tmp_path):
+    """Assisted L2CL serial search (75 hypotheses given an L2CM fix)."""
+    from gnss_dsp_tpu.models import get_signal
+    from gnss_dsp_tpu.utils.synth import synth_iq, to_int8_iq
+
+    sig = get_signal("gps-l2cl")
+    fs = 4.096e6
+    k_true, l2cm_phase = 31, 1234.0
+    phase = float((k_true * 10230 + l2cm_phase) % sig.code_length)
+    n = int(fs * 0.050)
+    x = synth_iq(sig.code_table((5,))[0], sig.chip_rate, fs, n,
+                 doppler_hz=250.0, code_phase=phase, cn0_dbhz=None,
+                 subcarrier="rz_odd", carrier_ratio=2400.0)
+    path = os.path.join(tmp_path, "l2cl.iq")
+    with open(path, "wb") as f:
+        f.write(to_int8_iq(x, scale=20.0))
+    args = ["--time", "40", path, "%d" % fs, "0", "5", "250.0",
+            "%f" % l2cm_phase]
+    ref_rows = run_ref("acquire-gps-l2cl.py", args)
+    our_rows = run_ours("acquire-gps-l2cl.py", args)
+    # row: "code_phase metric" (acquire-gps-l2cl.py:76)
+    rp, rm = (float(v) for v in ref_rows[-1].split())
+    op, om = (float(v) for v in our_rows[-1].split())
+    assert rp == op == k_true * 10230 + l2cm_phase, (ref_rows, our_rows)
+    assert abs(rm - om) / rm < 0.05, (ref_rows, our_rows)
+
+
+def test_acquire_glonass_matches_reference(tmp_path):
+    """FDMA channel rows: our batched search vs the reference's
+    channel loop (acquire-glonass-l1.py) on a 16.384 MHz capture."""
+    from gnss_dsp_tpu.models import get_signal
+    from gnss_dsp_tpu.utils.synth import synth_iq, to_int8_iq
+
+    sig = get_signal("glonass-l1")
+    fs = 16.384e6
+    n = int(fs * 0.026)
+    x = synth_iq(sig.code_table((0,))[0], sig.chip_rate, fs, n,
+                 doppler_hz=1200.0 - 2 * 562500.0, code_phase=300.0,
+                 cn0_dbhz=47.0, carrier_ratio=sig.track_carrier_ratio(-2),
+                 code_doppler_hz=1200.0, rng=np.random.default_rng(9))
+    path = os.path.join(tmp_path, "glo.iq")
+    with open(path, "wb") as f:
+        f.write(to_int8_iq(x, scale=18.0))
+    args = ["--channel", "-2,0", "--doppler-search", "600,1800,200",
+            "--time", "16", path, "%d" % fs, "0"]
+    ref_rows = run_ref("acquire-glonass-l1.py", args)
+    our_rows = run_ours("acquire-glonass-l1.py", args)
+    assert len(ref_rows) == len(our_rows) == 2
+    for rr, ro in zip(ref_rows, our_rows):
+        rt, ot = rr.split(), ro.split()
+        assert rt[1] == ot[1], (rr, ro)                     # chan
+        assert float(rt[3]) == float(ot[3]), (rr, ro)       # doppler
+        assert abs(float(rt[7]) - float(ot[7])) <= 0.26, (rr, ro)
+        assert abs(float(rt[5]) - float(ot[5])) / float(rt[5]) < 0.05
