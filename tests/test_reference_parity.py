@@ -241,3 +241,58 @@ def test_acquire_glonass_matches_reference(tmp_path):
         assert float(rt[3]) == float(ot[3]), (rr, ro)       # doppler
         assert abs(float(rt[7]) - float(ot[7])) <= 0.26, (rr, ro)
         assert abs(float(rt[5]) - float(ot[5])) / float(rt[5]) < 0.05
+
+
+def test_acquire_gps_l1cp_matches_reference(tmp_path):
+    """10 ms coherent, BOC(1,1)-weighted reference, no-pad window 81920
+    (acquire-gps-l1cp.py) — exercises the Weil codes + TMBOC synth."""
+    from gnss_dsp_tpu.models import get_signal
+    from gnss_dsp_tpu.utils.synth import synth_iq, to_int8_iq
+
+    sig = get_signal("gps-l1cp")
+    fs = 8.192e6
+    n = int(fs * 0.034)
+    x = synth_iq(sig.code_table((18,))[0], sig.chip_rate, fs, n,
+                 doppler_hz=-300.0, code_phase=512.0, cn0_dbhz=48.0,
+                 carrier_ratio=1540.0, subcarrier="tmboc",
+                 rng=np.random.default_rng(6))
+    path = os.path.join(tmp_path, "l1cp.iq")
+    with open(path, "wb") as f:
+        f.write(to_int8_iq(x, scale=18.0))
+    args = ["--prn", "18", "--doppler-search", "-340,-240,20",
+            "--time", "20", path, "%d" % fs, "0"]
+    ref_rows = run_ref("acquire-gps-l1cp.py", args)
+    our_rows = run_ours("acquire-gps-l1cp.py", args)
+    rt, ot = ref_rows[0].split(), our_rows[0].split()
+    assert float(rt[3]) == float(ot[3]), (ref_rows, our_rows)
+    assert abs(float(rt[7]) - float(ot[7])) <= 1.3, (ref_rows, our_rows)
+    assert abs(float(rt[5]) - float(ot[5])) / float(rt[5]) < 0.05
+
+
+def test_track_gps_l2cm_matches_reference(tmp_path):
+    """RZ even-half-chip gating with 20 sub-blocks per 20 ms period
+    (track-gps-l2cm.py)."""
+    from gnss_dsp_tpu.models import get_signal
+    from gnss_dsp_tpu.utils.synth import synth_iq, to_int8_iq
+
+    sig = get_signal("gps-l2cm")
+    fs, coffset = 4.096e6, -2000.0
+    n = int(fs * 0.120)
+    x = synth_iq(sig.code_table((29,))[0], sig.chip_rate, fs, n,
+                 doppler_hz=1120.0, code_phase=4208.8, cn0_dbhz=52.0,
+                 carrier_ratio=2400.0, subcarrier="rz_even",
+                 rng=np.random.default_rng(8))
+    x = x * np.exp(2j * np.pi * coffset / fs * np.arange(n))
+    path = os.path.join(tmp_path, "l2cm.iq")
+    with open(path, "wb") as f:
+        f.write(to_int8_iq(x, scale=20.0))
+    args = ["--loop-dwells", "40,30", path, "%d" % fs, "%d" % coffset,
+            "29", "1120.0", "4208.80"]
+    ref_rows = run_ref("track-gps-l2cm.py", args)
+    our_rows = run_ours("track-gps-l2cm.py", ["--blocks", "100"] + args)
+    nb = min(len(ref_rows), len(our_rows))
+    assert nb >= 90, (len(ref_rows), len(our_rows))
+    ref = np.array([[float(v) for v in r.split()] for r in ref_rows[:nb]])
+    ours = np.array([[float(v) for v in r.split()] for r in our_rows[:nb]])
+    assert abs(np.mean(ref[-25:, 3]) - np.mean(ours[-25:, 3])) < 3.0
+    assert abs(np.mean(ref[-25:, 7]) / np.mean(ours[-25:, 7]) - 1) < 0.06
