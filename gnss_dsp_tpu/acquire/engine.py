@@ -221,13 +221,10 @@ def _fused_ok(window: int) -> bool:
     try:
         from gnss_dsp_tpu.ops import pallas_acquire as pa
 
-        n1, n2 = pa.plan2(window)
+        pa.plan2(window)
+        return True
     except ValueError:
         return False
-    # Mosaic needs tile-aligned factor planes (measured support matrix:
-    # 64x64..320x512 pass, 165x186 / 220x279 "unsupported shape cast") —
-    # the 30.69 MHz family (30690/61380) falls back to the bf16 XLA path
-    return n1 % 8 == 0 and n2 % 64 == 0
 
 
 def acquire_signal(sig, x_int, prns, doppler_search=None, ms: int = 80,
@@ -272,8 +269,9 @@ def acquire_signal(sig, x_int, prns, doppler_search=None, ms: int = 80,
         from gnss_dsp_tpu.ops import pallas_acquire as pa
 
         cf_host = pa.permute_host(cf_host)
-        # block group sized so the F tile (bf16 split) stays ~4 MB of VMEM
-        fused_bt = max(1, min(blocks, 40, (4 << 20) // (window * 4)))
+        # block group sized so the kernel's VMEM working set (F tiles +
+        # two f32 stage intermediates) stays within the 16 MB budget
+        fused_bt = max(1, min(blocks, 40, (1 << 20) // (window * 4)))
     else:
         fused_bt = 0
     code_ffts = cplx.from_numpy(cf_host)
@@ -330,7 +328,7 @@ def acquire_signal_fdma(sig, x_int, chans, doppler_search=None, ms: int = 80,
         from gnss_dsp_tpu.ops import pallas_acquire as pa
 
         cf_host = pa.permute_host(cf_host)
-        fused_bt = max(1, min(blocks, 40, (4 << 20) // (window * 4)))
+        fused_bt = max(1, min(blocks, 40, (1 << 20) // (window * 4)))
     else:
         fused_bt = 0
     code_ffts = cplx.from_numpy(cf_host)

@@ -51,16 +51,29 @@ def plan2(n: int):
     return n1, n2
 
 
+def _pad128(n: int) -> int:
+    return -(-n // 128) * 128
+
+
 @lru_cache(maxsize=16)
 def _mats(n: int):
-    """Inverse-DFT stage constants in bf16 (numpy): W1i [n1,n1],
-    W2i [n2,n2], twiddle [n1,n2] (split re/im)."""
+    """Inverse-DFT stage constants in bf16 (numpy), zero-padded so every
+    LANE dimension is a 128 multiple (Mosaic rejects unaligned lane
+    shapes — measured on the 165x186 / 220x279 splits).  Padded rows are
+    zero, so contractions and outputs outside the true planes vanish.
+
+    W1i [n1, n1p], W2i [n2p, n2p], twiddle [n1, n2p] (split re/im; W2
+    also carries the Karatsuba sum/diff forms)."""
     n1, n2 = plan2(n)
+    n1p, n2p = _pad128(n1), _pad128(n2)
     j1 = np.arange(n1)
     j2 = np.arange(n2)
-    w1 = np.exp(2j * np.pi * np.outer(j1, j1) / n1) / n1
-    w2 = np.exp(2j * np.pi * np.outer(j2, j2) / n2) / n2
-    tw = np.exp(2j * np.pi * np.outer(j1, j2) / n)
+    w1 = np.zeros((n1, n1p), complex)
+    w1[:, :n1] = np.exp(2j * np.pi * np.outer(j1, j1) / n1) / n1
+    w2 = np.zeros((n2p, n2p), complex)
+    w2[:n2, :n2] = np.exp(2j * np.pi * np.outer(j2, j2) / n2) / n2
+    tw = np.zeros((n1, n2p), complex)
+    tw[:, :n2] = np.exp(2j * np.pi * np.outer(j1, j2) / n)
 
     def sp(a):
         import ml_dtypes
@@ -109,6 +122,8 @@ def _kernel(fr_ref, fi_ref, cr_ref, ci_ref,
             w2r_ref, w2i_ref, w2s_ref, w2d_ref,
             twr_ref, twi_ref,
             out_ref, acc, *, n1, n2, bt, nb):
+    # all refs use lane-padded planes: n2p lanes for F/code/twiddle/W2,
+    # n1p output lanes for W1/out
     w1r = w1r_ref[:, :]
     w1i = w1i_ref[:, :]
     w2 = (w2r_ref[:, :], w2i_ref[:, :], w2s_ref[:, :], w2d_ref[:, :])
@@ -116,9 +131,11 @@ def _kernel(fr_ref, fi_ref, cr_ref, ci_ref,
     twi = twi_ref[:, :]
     b = pl.program_id(2)
 
+    n1p, n2p = w1r_ref.shape[1], w2r_ref.shape[0]
+
     @pl.when(b == 0)
     def _():
-        acc[:, :] = jnp.zeros((n2, n1), jnp.float32)
+        acc[:, :] = jnp.zeros((n2p, n1p), jnp.float32)
 
 
 
@@ -132,12 +149,9 @@ def _kernel(fr_ref, fi_ref, cr_ref, ci_ref,
     pr = cr[None, :, :] * fr + ci[None, :, :] * fi
     pi = ci[None, :, :] * fr - cr[None, :, :] * fi
 
-    # stage A: contract k2 (last axis), batched over blocks x k1 rows
-    pr = pr.reshape(bt * n1, n2)       # leading-dim merge only
-    pi = pi.reshape(bt * n1, n2)
+    # stage A: contract k2 (last axis) as a 3D x 2D dot — no reshapes
+    # (Mosaic rejects merges that touch unaligned lane layouts)
     ar, ai = _cmm((pr, pi), w2)
-    ar = ar.reshape(bt, n1, n2)
-    ai = ai.reshape(bt, n1, n2)
     # twiddle t[k1, j2]
     twrf = twr.astype(jnp.float32)
     twif = twi.astype(jnp.float32)
@@ -187,29 +201,40 @@ def corr_surface(f, code_f, n1: int, n2: int, bt: int,
         return pl.BlockSpec(a.shape, lambda p, d, b: (0,) * a.ndim,
                             memory_space=pltpu.VMEM)
 
-    # host-side 4D views: the W -> (n1, n2) lane split is free here
-    fr4 = fr.reshape(DC, B, n1, n2)
-    fi4 = fi.reshape(DC, B, n1, n2)
-    cr3 = cr.reshape(P, n1, n2)
-    ci3 = ci.reshape(P, n1, n2)
+    # host-side 4D views (the W -> (n1, n2) lane split is free here),
+    # lane-padded to 128 multiples for Mosaic
+    n1p = _pad128(n1)
+    n2p = _pad128(n2)
+    pad_l = n2p - n2
+
+    def v4(a, P0):
+        a = a.reshape(P0 + (n1, n2))
+        if pad_l:
+            a = jnp.pad(a, [(0, 0)] * len(P0) + [(0, 0), (0, pad_l)])
+        return a
+
+    fr4 = v4(fr, (DC, B))
+    fi4 = v4(fi, (DC, B))
+    cr3 = v4(cr, (P,))
+    ci3 = v4(ci, (P,))
 
     q = pl.pallas_call(
         functools.partial(_kernel, n1=n1, n2=n2, bt=bt, nb=B // bt),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bt, n1, n2), lambda p, d, b: (d, b, 0, 0),
+            pl.BlockSpec((1, bt, n1, n2p), lambda p, d, b: (d, b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt, n1, n2), lambda p, d, b: (d, b, 0, 0),
+            pl.BlockSpec((1, bt, n1, n2p), lambda p, d, b: (d, b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n1, n2), lambda p, d, b: (p, 0, 0),
+            pl.BlockSpec((1, n1, n2p), lambda p, d, b: (p, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n1, n2), lambda p, d, b: (p, 0, 0),
+            pl.BlockSpec((1, n1, n2p), lambda p, d, b: (p, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + [const_spec(m) for m in mats],
-        out_specs=pl.BlockSpec((1, 1, n2, n1), lambda p, d, b: (p, d, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, n2p, n1p), lambda p, d, b: (p, d, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P, DC, n2, n1), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((n2, n1), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((P, DC, n2p, n1p), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((n2p, n1p), jnp.float32)],
         interpret=interpret,
     )(fr4, fi4, cr3, ci3, *mats)
-    return q.reshape(P, DC, W)
+    return q[:, :, :n2, :n1].reshape(P, DC, W)

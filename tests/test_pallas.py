@@ -147,3 +147,41 @@ def test_corr_surface_matches_numpy(rng):
     q_nat[..., j] = q
     err = np.abs(q_nat - q_want) / np.abs(q_want).max()
     assert err.max() < 2e-2, err.max()
+
+
+def test_corr_surface_padded_window(rng):
+    """Lane-padded planes (W=30690 -> 165x186 split, padded to x256/x384):
+    values match numpy and a planted correlation peak lands exactly."""
+    import jax.numpy as jnp
+    from gnss_dsp_tpu.ops import pallas_acquire as pa
+    from gnss_dsp_tpu.ops import fft as fftm, cplx
+
+    W, P, DC, B, bt = 30690, 2, 1, 4, 2
+    n1, n2 = pa.plan2(W)
+    x = rng.standard_normal((DC, B, W)) + 1j * rng.standard_normal((DC, B, W))
+    c = rng.standard_normal((P, W)) + 1j * rng.standard_normal((P, W))
+    F_ref = np.fft.fft(x, axis=-1)
+    C_ref = np.fft.fft(c, axis=-1)
+    R = np.fft.ifft(C_ref[:, None, None, :] * np.conj(F_ref)[None], axis=-1)
+    q_want = np.abs(R).sum(axis=2)
+
+    Fp = fftm.fft_two_level_perm(cplx.from_numpy(x), bf16=True)
+    Cp = pa.permute_host(C_ref)
+    code_f = (jnp.asarray(Cp.real.astype(np.float32)).astype(jnp.bfloat16),
+              jnp.asarray(Cp.imag.astype(np.float32)).astype(jnp.bfloat16))
+    F16 = (Fp[0].astype(jnp.bfloat16), Fp[1].astype(jnp.bfloat16))
+    q = np.asarray(pa.corr_surface(F16, code_f, n1=n1, n2=n2, bt=bt,
+                                   interpret=True))
+    j = pa.perm_to_natural_index(np.arange(W), W)
+    q_nat = np.empty_like(q)
+    q_nat[..., j] = q
+    assert (np.abs(q_nat - q_want) / np.abs(q_want).max()).max() < 2e-2
+
+    shift = 12345
+    x2 = np.roll(c[0], shift)[None, None, :]
+    F2 = fftm.fft_two_level_perm(cplx.from_numpy(x2), bf16=True)
+    F216 = (F2[0].astype(jnp.bfloat16), F2[1].astype(jnp.bfloat16))
+    q2 = np.asarray(pa.corr_surface(F216, code_f, n1=n1, n2=n2, bt=1,
+                                    interpret=True))
+    lag = pa.perm_to_natural_index(int(np.argmax(q2[0, 0])), W)
+    assert lag == (W - shift) % W
