@@ -21,7 +21,7 @@ CASES = [
     ("galileo-e1b", 24, list(range(1, 51)), (-9000., 9000., 50.), 80),
     ("gps-l5i", 25, list(range(1, 33)), (-7000., 7000., 200.), 80),
     ("beidou-b1i", 34, list(range(1, 64)), (-7000., 7000., 200.), 80),
-    ("glonass-l1", 0, [0], (-7000., 7000., 200.), 80),
+    ("glonass-l1", 0, list(range(-7, 8)), (-7000., 7000., 200.), 80),
 ]
 
 SUBC = {"galileo-e1b": "cboc"}
@@ -38,11 +38,19 @@ def main():
                      int(sig.acq_fs * (ms + 4) / 1000), doppler_hz=1500.0,
                      code_phase=100.0, cn0_dbhz=45.0,
                      subcarrier=SUBC.get(name, "none"),
-                     carrier_ratio=sig.track_carrier_ratio(0))
+                     carrier_ratio=sig.track_carrier_ratio(0),
+                     code_doppler_hz=1500.0)
+        fdma = bool(sig.fdma_hz)
         t_run = []
         for rep in range(2):
             t0 = time.perf_counter()
-            res = acquire_signal(sig, x, prns, doppler_search=dops, ms=ms)
+            if fdma:
+                from gnss_dsp_tpu.acquire.engine import acquire_signal_fdma
+
+                res = acquire_signal_fdma(sig, x, prns,
+                                          doppler_search=dops, ms=ms)
+            else:
+                res = acquire_signal(sig, x, prns, doppler_search=dops, ms=ms)
             t_run.append(time.perf_counter() - t0)
         dt = t_run[-1]
         D = len(np.arange(*dops))
