@@ -75,13 +75,15 @@ def bench_tpu(sig, x, prns, dops_cfg, ms):
         return tuple(np.asarray(o) for o in out)
 
     out = run()                         # compile + warmup
-    t0 = time.perf_counter()
-    reps = 3
-    for _ in range(reps):
+    # best-of-N: the tunneled chip is shared, so per-run variance is
+    # large; the minimum is the clean measure of the kernel itself
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
         out = run()
-    dt = (time.perf_counter() - t0) / reps
+        best = min(best, time.perf_counter() - t0)
     cells = len(prns) * D * window * blocks
-    return cells / dt, out, dops, n
+    return cells / best, out, dops, n
 
 
 def bench_reference_numpy(sig, x, ms) -> float:
