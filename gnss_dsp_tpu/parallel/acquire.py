@@ -38,23 +38,31 @@ from gnss_dsp_tpu.acquire import engine as _eng
 
 @partial(
     jax.jit,
-    static_argnames=("n", "window", "blocks", "peak_mean", "dop_chunk", "mesh"),
+    static_argnames=("n", "window", "blocks", "peak_mean", "dop_chunk", "mesh",
+                     "fused", "fused_bt"),
 )
 def grid_search_sharded(x, code_ffts, dopp_fixed, dopp_valid,
                         n: int, window: int, blocks: int,
-                        peak_mean: bool, dop_chunk: int, mesh):
+                        peak_mean: bool, dop_chunk: int, mesh,
+                        fused: bool = False, fused_bt: int = 0):
     """Sharded twin of acquire.engine.grid_search.
 
     x          : split-complex [>= (blocks-1)*n + window] (replicated)
     code_ffts  : split-complex [P, window]; P % mesh('sat') == 0
+                 (PERMUTED order + bf16 when fused, as in engine.grid_search)
     dopp_fixed : int32 [Dp], Dp % dop_chunk == 0 (padded, see engine)
     dopp_valid : bool [Dp]
+    fused      : per-shard surfaces via the Pallas corr_surface kernel
+                 (the psum over 'time' is elementwise, so the permuted
+                 code-phase order commutes with it)
     Returns per-PRN (metric [P], code_idx [P], dop_idx [P]).
     """
     nsat = mesh.shape["sat"]
     ntime = mesh.shape["time"]
     assert code_ffts[0].shape[0] % nsat == 0
     blocks_local = -(-blocks // ntime)
+    if fused:
+        blocks_local = -(-blocks_local // fused_bt) * fused_bt
     Dp = dopp_fixed.shape[0]
     n_chunks = Dp // dop_chunk
 
@@ -78,7 +86,10 @@ def grid_search_sharded(x, code_ffts, dopp_fixed, dopp_valid,
             valid = jax.lax.dynamic_slice(dopp_valid, (d0,), (dop_chunk,))
             w = jax.vmap(lambda f: nco.nco_split(f, zero_p, window))(df)
 
-            q = _eng.chunk_q(xb, cf, w, jax.lax.Precision.HIGHEST)
+            if fused:
+                q = _eng.chunk_q_fused(xb, cf, w, fused_bt)
+            else:
+                q = _eng.chunk_q(xb, cf, w, jax.lax.Precision.HIGHEST)
             # the non-coherent accumulation is the only cross-shard term
             q = jax.lax.psum(q, "time")
 
@@ -122,16 +133,22 @@ def grid_search_sharded(x, code_ffts, dopp_fixed, dopp_valid,
 
 def acquire_signal_sharded(sig, x_int, prns, mesh, doppler_search=None,
                            ms: int = 80, chan: int = 0,
-                           dop_chunk: int | None = None):
+                           dop_chunk: int | None = None,
+                           engine: str = "auto"):
     """Mesh-parallel twin of acquire.engine.acquire_signal.
 
     Pads the PRN list to a multiple of the sat-axis size (results for the
-    padding PRNs are dropped).  Returns list[AcqResult] in PRN order.
+    padding PRNs are dropped).  engine: "fused" (per-shard Pallas surface
+    kernel), "xla", or "auto" (fused on accelerator backends — CPU meshes,
+    e.g. the virtual-device tests, stay on the XLA path).
+    Returns list[AcqResult] in PRN order.
     """
     doppler_search = doppler_search or sig.doppler_default
     n = int(round(sig.acq_fs * sig.acq_coherent_ms / 1000.0))
     window = 2 * n if (sig.acq_pad2 or sig.acq_sliding) else n
     blocks = _eng._block_count(sig, ms)
+    use_fused = (engine == "fused"
+                 or (engine == "auto" and _eng._fused_ok(window)))
     dops, fixed = _eng.doppler_grid(sig, doppler_search, chan)
 
     nsat = mesh.shape["sat"]
@@ -148,17 +165,32 @@ def acquire_signal_sharded(sig, x_int, prns, mesh, doppler_search=None,
     valid = np.zeros(Dp, bool)
     valid[: len(fixed)] = True
 
-    code_ffts = cplx.from_numpy(
-        _eng.build_code_ffts(sig, prns_pad, n, window))
+    cf_host = _eng.build_code_ffts(sig, prns_pad, n, window)
+    if use_fused:
+        from gnss_dsp_tpu.ops import pallas_acquire as pa
+
+        cf_host = pa.permute_host(cf_host)
+        fused_bt = max(1, min(blocks, 40, (1 << 20) // (window * 4)))
+    else:
+        fused_bt = 0
+    code_ffts = cplx.from_numpy(cf_host)
+    if use_fused:
+        code_ffts = (code_ffts[0].astype(jnp.bfloat16),
+                     code_ffts[1].astype(jnp.bfloat16))
     x = cplx.from_numpy(x_int) if not isinstance(x_int, tuple) else x_int
     metric, code_idx, dop_idx = grid_search_sharded(
         x, code_ffts, jnp.asarray(fixed_p), jnp.asarray(valid),
         n=n, window=window, blocks=blocks,
         peak_mean=(sig.acq_metric == "peak_mean"),
         dop_chunk=dop_chunk, mesh=mesh,
+        fused=use_fused, fused_bt=fused_bt,
     )
     metric = np.asarray(metric)
     code_idx = np.asarray(code_idx)
+    if use_fused:
+        from gnss_dsp_tpu.ops import pallas_acquire as pa
+
+        code_idx = pa.perm_to_natural_index(code_idx, window)
     dop_idx = np.asarray(dop_idx)
     out = []
     for i, prn in enumerate(prns):

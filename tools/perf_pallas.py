@@ -25,13 +25,15 @@ def main():
     code_rows = jnp.asarray(ptk.extend_code(code, W, int(npad * cf) + 2))
     xr = jnp.asarray(rng.standard_normal((C, npad)).astype(np.float32))
     xi = jnp.asarray(rng.standard_normal((C, npad)).astype(np.float32))
-    si = np.zeros((C, 6), np.int32)
+    si = np.zeros((C, 9), np.int32)
     sf = np.zeros((C, 4), np.float32)
     si[:, 0] = 99; si[:, 1] = 100; si[:, 2] = 100
     sf[:, 0] = 0.95; sf[:, 1] = 0.0; sf[:, 2] = 0.05
-    si[:, 3] = 1 << 18
-    si[:, 4] = n
-    si[:, 5] = rng.integers(0, 1 << 31, C)
+    si[:, 3] = 1 << 18          # dphase_a
+    si[:, 4] = n                # n_valid
+    si[:, 5] = rng.integers(0, 1 << 31, C)   # phase0_a
+    si[:, 6] = 1 << 12          # dphase_b
+    si[:, 7] = rng.integers(0, 1 << 31, C)   # phase0_b
     sf[:, 3] = cf
     si = jnp.asarray(si); sf = jnp.asarray(sf)
 

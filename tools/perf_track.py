@@ -9,20 +9,51 @@ from gnss_dsp_tpu.utils.synth import synth_iq
 sig = get_signal("gps-l1")
 fs = 4.096e6
 C = 32            # channels batched
-ms = 1000
-params = make_params(sig, fs, coffset=0.0)
+params_x = make_params(sig, fs, coffset=0.0, use_pallas=False)
+params_p = make_params(sig, fs, coffset=0.0, use_pallas=True)
 x = synth_iq(sig.code_table((1,))[0], sig.chip_rate, fs, int(fs), doppler_hz=1000.0,
              code_phase=0.0, cn0_dbhz=45.0, carrier_ratio=1540.0)
-xd = (jnp.asarray(x.real), jnp.asarray(x.imag))
-st = init_state(code_p=np.zeros(C), code_f_off=np.zeros(C),
-                carrier_p=np.zeros(C), carrier_f=np.full(C, 1000.0))
-tab = jnp.asarray(sig.code_table(tuple([1]*C)).astype(np.int8))
+
+code_np = sig.code_table(tuple([1] * C)).astype(np.int8)
+tab = jnp.asarray(code_np)
 nb = 900
-out = track_scan(xd, jnp.int32(len(x)), tab, st, params, nb)
-jax.block_until_ready(out)
-t0 = time.perf_counter()
-out = track_scan(xd, jnp.int32(len(x)), tab, st, params, nb)
-jax.block_until_ready(out)
-dt = time.perf_counter() - t0
-samples = C * nb * fs * 0.001
-print(f"track: C={C} blocks={nb} dt={dt:.3f}s -> {samples/dt/1e6:.1f} Msamples/s ({samples/dt/1e6/C:.2f} per-channel real-time x{samples/dt/fs/C:.1f})")
+
+from gnss_dsp_tpu.ops import pallas_track as ptk
+cf_nom = sig.chip_rate / fs
+code_rows_ext = jnp.asarray(ptk.extend_code(
+    code_np, params_p.pallas_w,
+    int(params_p.pallas_tiles * ptk.TILE * cf_nom * 1.05) + 4))
+pad = params_p.pallas_tiles * ptk.TILE
+xp = np.concatenate([x, np.zeros(pad, np.complex64)])
+xd = (jnp.asarray(np.ascontiguousarray(xp.real)),
+      jnp.asarray(np.ascontiguousarray(xp.imag)))
+
+
+def run(params, ext):
+    st = init_state(code_p=np.zeros(C), code_f_off=np.zeros(C),
+                    carrier_p=np.zeros(C), carrier_f=np.full(C, 1000.0))
+    out = track_scan(xd, jnp.int32(len(x)), tab, st, params, nb,
+                     code_rows_ext=ext)
+    np.asarray(out[1])  # axon: block_until_ready is a no-op; force readback
+    best = np.inf
+    for _ in range(3):
+        st = init_state(code_p=np.zeros(C), code_f_off=np.zeros(C),
+                        carrier_p=np.zeros(C), carrier_f=np.full(C, 1000.0))
+        t0 = time.perf_counter()
+        out = track_scan(xd, jnp.int32(len(x)), tab, st, params, nb,
+                         code_rows_ext=ext)
+        rows = np.asarray(out[1])
+        best = min(best, time.perf_counter() - t0)
+    assert np.isfinite(rows[-1, :, 7]).all()
+    return best
+
+
+cases = [("xla   ", params_x, None), ("pallas", params_p, code_rows_ext)]
+if os.environ.get("PERF_TRACK_ONLY") == "pallas":   # XLA scan compiles ~300s
+    cases = cases[1:]
+for name, params, ext in cases:
+    dt = run(params, ext)
+    samples = C * nb * fs * 0.001
+    print(f"track[{name}]: C={C} blocks={nb} dt={dt:.3f}s -> "
+          f"{samples/dt/1e6:.1f} Msamples/s "
+          f"(x{samples/dt/fs/C:.1f} real-time/chan)")
