@@ -42,6 +42,18 @@ def main(signal: str, argv=None) -> int:
                       help="initial carrier phase in cycles (PLL from start)")
     parser.add_option("--blocks", type="int", default=0,
                       help="stop after N blocks (0 = run to EOF)")
+    parser.add_option("--recover", action="store_true", default=None,
+                      help="unknown-code recovery: accumulate data-wiped "
+                           "samples into per-chip bins and write "
+                           "track-chips.dat at EOF (default on for B2b, "
+                           "as in track-beidou-b2bi.py:47-53)")
+    parser.add_option("--no-recover", action="store_true", default=False,
+                      help="disable unknown-code recovery")
+    parser.add_option("--recover-warmup", type="int", default=200,
+                      help="blocks to track before accumulating "
+                           "(default %default, track-beidou-b2bi.py:47)")
+    parser.add_option("--recover-file", default="track-chips.dat",
+                      help="recovered-bins output path (default %default)")
     options, args = parser.parse_args(argv)
     dwells = tuple(int(v) for v in options.loop_dwells.split(","))
     carrier_phase = (float(options.carrier_phase)
@@ -75,8 +87,22 @@ def main(signal: str, argv=None) -> int:
         prefix = f"ch{channels[k].prn} " if multi else ""
         print(prefix + fmt(row))
 
+    if options.no_recover:
+        recover_after = -1
+    elif options.recover:
+        recover_after = options.recover_warmup
+    else:
+        recover_after = options.recover_warmup if sig.recover_default else -1
+
     track_file(sig, fp, fs, coffset, channels, loop_dwells=dwells,
-               max_blocks=options.blocks or None, emit=emit)
+               max_blocks=options.blocks or None, emit=emit,
+               recover_after=recover_after)
+    if recover_after >= 0:
+        # reference dumps the raw complex bins, one "%f %f" row per chip
+        # (track-beidou-b2bi.py:181-184)
+        with open(options.recover_file, "w") as f:
+            for v in channels[0].recovered:
+                f.write("%f %f\n" % (v.real, v.imag))
     return 0
 
 

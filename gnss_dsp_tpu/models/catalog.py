@@ -245,7 +245,9 @@ register(Signal(
 ))
 
 # B2bi / B2bq — acquire-beidou-b2b{i,q}.py (30.69 MHz, 1 ms, 2n pad),
-# track ratio 118.  Unknown-code recovery lives in track/recover.py.
+# track ratio 118.  The reference track scripts always run unknown-code
+# recovery and dump track-chips.dat (track-beidou-b2bi.py:47-53,181-184),
+# so recover_default=True: the drop-in CLI does the same by default.
 register(Signal(
     name="beidou-b2bi", constellation="beidou",
     chip_rate=beidou.B2_CHIP_RATE, code_length=beidou.B2_CODE_LENGTH,
@@ -253,7 +255,7 @@ register(Signal(
     prn_default="19-30,32-48",
     acq_fs=3 * 10.23e6, acq_coherent_ms=1.0, acq_pad2=True,
     acq_lowpass_hz=12e6, doppler_default=(-7000.0, 7000.0, 200.0),
-    carrier_ratio=118.0, el_spacing=0.5,
+    carrier_ratio=118.0, el_spacing=0.5, recover_default=True,
 ))
 register(Signal(
     name="beidou-b2bq", constellation="beidou",
@@ -262,7 +264,7 @@ register(Signal(
     prn_default="19-30,32-48",
     acq_fs=3 * 10.23e6, acq_coherent_ms=1.0, acq_pad2=True,
     acq_lowpass_hz=12e6, doppler_default=(-7000.0, 7000.0, 200.0),
-    carrier_ratio=118.0, el_spacing=0.5,
+    carrier_ratio=118.0, el_spacing=0.5, recover_default=True,
 ))
 
 # B3I — acquire-beidou-b3i.py (30.69 MHz, 1 ms, 2n pad), track ratio 124.

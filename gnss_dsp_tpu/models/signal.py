@@ -52,6 +52,10 @@ class Signal:
     track_mode_initial: str = "FLL_WIDE"
     pll_k1: float = 0.1
     pll_k2: float = 3.5
+    # unknown-code recovery: accumulate data-wiped samples into per-chip
+    # bins after 200 blocks and dump track-chips.dat at EOF — on by
+    # default only where the reference does it (track-beidou-b2bi.py:47-53)
+    recover_default: bool = False
     row_format: int = 9            # reference text row: 9 or 14 columns
     # GLONASS FDMA: carrier_ratio is per-channel,
     # (rf0 + step*chan) / code_mhz  (track-glonass-l1.py:36-39)

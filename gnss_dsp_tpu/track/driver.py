@@ -87,6 +87,7 @@ class TrackChannel:
     code_cyc: int = 0
     carrier_cyc: int = 0
     rows: list = field(default_factory=list)
+    recovered: np.ndarray | None = None   # complex per-chip recovery bins
 
 
 def _pallas_ok(sig, fs: float, n_channels: int = 1) -> bool:
@@ -105,10 +106,15 @@ def _pallas_ok(sig, fs: float, n_channels: int = 1) -> bool:
 
 def make_params(sig, fs: float, coffset: float, loop_dwells=(500, 500),
                 pll_from_start: bool = False, chan: int = 0,
-                use_pallas: bool | None = None) -> TrackParams:
+                use_pallas: bool | None = None,
+                recover_after: int = -1) -> TrackParams:
     period_ms = sig.code_period_ms
     sub = sig.sub_blocks
     nmax = int(fs * 0.001 * period_ms / sub * 1.5) + 4
+    if recover_after >= 0:
+        # recovery scatters wiped samples into per-chip bins — only the
+        # XLA correlator exposes them (it's a rare offline mode)
+        use_pallas = False
     if use_pallas is None:
         use_pallas = _pallas_ok(sig, fs)
     pallas_tiles = pallas_w = 0
@@ -145,22 +151,32 @@ def make_params(sig, fs: float, coffset: float, loop_dwells=(500, 500),
         use_pallas=bool(use_pallas),
         pallas_tiles=int(pallas_tiles),
         pallas_w=int(pallas_w),
+        recover_after=int(recover_after),
     )
 
 
 def track_file(sig, fp, fs: float, coffset: float, channels,
                loop_dwells=(500, 500), chunk_ms: float = 2000.0,
-               max_blocks: int | None = None, emit=None):
+               max_blocks: int | None = None, emit=None,
+               recover_after: int | None = None):
     """Track `channels` (list[TrackChannel]) through the stream `fp`.
 
     emit(channel_index, row_dict) is called once per completed block, in
     block order per chunk.  Returns the channels (rows accumulated when
     emit is None).
+
+    recover_after: run unknown-code recovery starting after that many
+    blocks (None = signal default: 200 for B2b, off otherwise —
+    track-beidou-b2bi.py:47-53); recovered complex bins land on each
+    channel's .recovered.
     """
     L = sig.code_length
     chips_per_sample = sig.chip_rate / fs
+    if recover_after is None:
+        recover_after = 200 if sig.recover_default else -1
     params = make_params(sig, fs, coffset, loop_dwells,
-                         pll_from_start=all(c.pll_from_start for c in channels))
+                         pll_from_start=all(c.pll_from_start for c in channels),
+                         recover_after=recover_after)
 
     # --- alignment to the first code boundary (:141-143), per channel:
     # the reference discards n0 samples; with a shared stream we keep them
@@ -178,6 +194,7 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
         carrier_p=np.array([c.carrier_phase for c in channels]),
         carrier_f=np.array([c.doppler for c in channels]),
         ptr=ptr0,
+        recover_bins=L if recover_after >= 0 else 1,
     )
     code_np = sig.code_table(tuple(c.prn for c in channels)).astype(np.int8)
     code_tab = jnp.asarray(code_np)
@@ -193,8 +210,9 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
         cf_nom = sig.chip_rate / fs
         code_rows_ext = jnp.asarray(ptk.extend_code(
             code_np, params.pallas_w,
-            int(params.pallas_tiles * ptk.TILE * cf_nom * 1.05) + 4))
-        pad_extra = params.pallas_tiles * ptk.TILE
+            int((params.pallas_tiles + 1) * ptk.TILE * cf_nom * 1.05) + 4))
+        # +1 tile: ptr lands mid-tile; kernel reads n_tiles+1 whole tiles
+        pad_extra = (params.pallas_tiles + 1) * ptk.TILE
 
     chunk_samples = int(fs * chunk_ms / 1000.0)
     sub_ms = sig.code_period_ms / sig.sub_blocks
@@ -220,8 +238,11 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
             if nb <= 0:
                 break
 
-        # pad so per-channel windows are in range for any valid ptr
-        padded = np.concatenate([buf, np.zeros(pad_extra, np.complex64)])
+        # pad so per-channel windows are in range for any valid ptr; total
+        # length rounded to a whole number of kernel tiles (the fused
+        # correlator's BlockSpec addresses the chunk tile-by-tile)
+        tail = pad_extra + (-(len(buf) + pad_extra)) % 1024
+        padded = np.concatenate([buf, np.zeros(tail, np.complex64)])
         x_dev = (
             jnp.asarray(np.ascontiguousarray(padded.real)),
             jnp.asarray(np.ascontiguousarray(padded.imag)),
@@ -270,6 +291,12 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
 
         if reader.done and not emitted_any:
             break
+
+    if recover_after >= 0:
+        acc_re = np.asarray(state.acc_re)
+        acc_im = np.asarray(state.acc_im)
+        for k, ch in enumerate(channels):
+            ch.recovered = acc_re[k] + 1j * acc_im[k]
     return channels
 
 

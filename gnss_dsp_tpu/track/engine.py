@@ -76,6 +76,10 @@ class TrackParams(NamedTuple):
     use_pallas: bool = False   # fused gather-free correlator (TPU only)
     pallas_tiles: int = 0      # ceil(nmax / pallas_track.TILE)
     pallas_w: int = 0          # chip window (pallas_track.chip_window)
+    recover_after: int = -1    # unknown-code recovery: accumulate wiped
+                               # samples into per-chip bins once
+                               # block > recover_after; -1 = off
+                               # (track-beidou-b2bi.py:47-53)
 
 
 # TMBOC(6,1,4/33) slot pattern: BOC(6,1) in chips 0,4,6,29 of each 33
@@ -105,9 +109,12 @@ class TrackState(NamedTuple):
     stalled: jnp.ndarray       # bool: ran out of chunk samples
     n_full: jnp.ndarray        # int32 samples in the current code period
     sub_j: jnp.ndarray         # int32 sub-block index within the period
+    acc_re: jnp.ndarray        # f32 [*, bins] code-recovery accumulator
+    acc_im: jnp.ndarray        # ... ([*, 1] dummies when recovery is off)
 
 
-def init_state(code_p, code_f_off, carrier_p, carrier_f, ptr=0) -> TrackState:
+def init_state(code_p, code_f_off, carrier_p, carrier_f, ptr=0,
+               recover_bins: int = 1) -> TrackState:
     c = np.shape(np.atleast_1d(code_p))[0]
 
     def as1(v, dt):
@@ -136,6 +143,8 @@ def init_state(code_p, code_f_off, carrier_p, carrier_f, ptr=0) -> TrackState:
         stalled=as1(zeros, bool),
         n_full=as1(zeros, np.int32),
         sub_j=as1(zeros, np.int32),
+        acc_re=jnp.zeros((c, int(recover_bins)), jnp.float32),
+        acc_im=jnp.zeros((c, int(recover_bins)), jnp.float32),
     )
 
 
@@ -199,7 +208,7 @@ def _track_block(x_chunk, chunk_len, code_tab, ratio, st: TrackState,
     cf_dyn = (st.code_f_off + st.carrier_f / ratio) / fs
     cf = jnp.float32(p.cf_hi) + cf_dyn                       # chips/sample
 
-    def corr(lag_chips):
+    def corr(lag_chips, want_cidx=False):
         # int/frac split keeps the gather exact for multi-million-chip
         # codes (GLONASS P, L2CL) where raw f32 code phase cannot: the
         # residual fr is an error-free two-float remainder, and the
@@ -235,15 +244,31 @@ def _track_block(x_chunk, chunk_len, code_tab, ratio, st: TrackState,
                 chips = chips * bp.astype(jnp.float32)
 
         chips = jnp.where(mask, chips, 0.0)
-        return jnp.sum(xm[0] * chips), jnp.sum(xm[1] * chips)
+        out = (jnp.sum(xm[0] * chips), jnp.sum(xm[1] * chips))
+        return (out + (cidx,)) if want_cidx else out
 
     p_early = corr(-p.el_spacing)
-    p_prompt = corr(0.0)
+    pp_re, pp_im, cidx_p = corr(0.0, want_cidx=True)
+    p_prompt = (pp_re, pp_im)
     p_late = corr(p.el_spacing)
 
     n_full_new = st.n_full if p.sub == 1 else n_full
-    return _post_block(p_early, p_prompt, p_late, n, sub_j_next,
-                       n_full_new, ok, cf_dyn, st, p)
+    new, row_f, row_i = _post_block(p_early, p_prompt, p_late, n, sub_j_next,
+                                    n_full_new, ok, cf_dyn, st, p)
+
+    if p.recover_after >= 0:
+        # unknown-code recovery (track-beidou-b2bi.py:47-53): once
+        # block > recover_after, scatter the data-wiped samples into
+        # their code-phase bins, sign-corrected by the prompt's I arm
+        sgn = jnp.where(p_prompt[0] > 0, jnp.float32(1.0), jnp.float32(-1.0))
+        gate = sgn * jnp.logical_and(st.block > p.recover_after,
+                                     ok).astype(jnp.float32)
+        w = jnp.where(mask, gate, 0.0)
+        new = new._replace(
+            acc_re=st.acc_re.at[cidx_p].add(xm[0] * w),
+            acc_im=st.acc_im.at[cidx_p].add(xm[1] * w),
+        )
+    return new, row_f, row_i
 
 
 def _post_block(p_early, p_prompt, p_late, n, sub_j_next, n_full_new, ok,
@@ -309,6 +334,8 @@ def _post_block(p_early, p_prompt, p_late, n, sub_j_next, n_full_new, ok,
         stalled=st.stalled,
         n_full=n_full_new,
         sub_j=sub_j_next,
+        acc_re=st.acc_re,          # recovery bins updated by the caller
+        acc_im=st.acc_im,          # (gated on ok there)
     )
     # freeze the channel if the chunk ran dry (host refills and resumes)
     new = jax.tree.map(lambda a, b: jnp.where(ok, a, b), new, st)
@@ -327,11 +354,15 @@ def _post_block(p_early, p_prompt, p_late, n, sub_j_next, n_full_new, ok,
     return new, row_f, row_i
 
 
-def _step_pallas(x_chunk, chunk_len, code_rows_ext, ratios,
+def _step_pallas(x2, chunk_len, code_rows_ext, ratios,
                  st: TrackState, p: TrackParams):
     """One scan step for ALL channels through the fused Pallas correlator
     (ops/pallas_track): vectorized geometry/scalars, one kernel call, and
-    the shared _post_block vmapped over channels."""
+    the shared _post_block vmapped over channels.  x2 is the chunk pair
+    ALREADY shaped [1, NCHUNK] — the reshape must happen once outside the
+    scan (a per-step [None, :] broadcast re-materializes the whole
+    sublane-padded plane every block and was a measured 2.7x engine
+    slowdown)."""
     from gnss_dsp_tpu.ops import pallas_track as ptk
 
     L = float(p.code_length)
@@ -384,18 +415,10 @@ def _step_pallas(x_chunk, chunk_len, code_rows_ext, ratios,
     ], axis=1)
     sf = jnp.stack([fr_e, fr_p, fr_l, cf], axis=1)
 
-    # unrolled per-channel contiguous slices (NOT vmapped: a vmapped
-    # dynamic_slice lowers to an element gather, ~10 cycles/element)
-    npad = p.pallas_tiles * ptk.TILE
-    xr = jnp.stack([
-        jax.lax.dynamic_slice(x_chunk[0], (st.ptr[c],), (npad,))
-        for c in range(C)])
-    xi = jnp.stack([
-        jax.lax.dynamic_slice(x_chunk[1], (st.ptr[c],), (npad,))
-        for c in range(C)])
-
+    # per-channel sample windows are selected INSIDE the kernel (scalar-
+    # prefetch index map on the shared chunk) — no host-side slicing
     sums = ptk.epl_correlate(
-        si, sf, xr, xi, code_rows_ext,
+        si, sf, x2[0], x2[1], code_rows_ext,
         n_tiles=p.pallas_tiles, W=p.pallas_w, sub=p.subcarrier,
     )
     p_early = (sums[:, 0], sums[:, 1])
@@ -429,11 +452,14 @@ def track_scan(x_chunk, chunk_len, code_tab, state: TrackState,
         ratios = jnp.full(state.block.shape, params.carrier_ratio,
                           jnp.float32)
     use_pallas = params.use_pallas and code_rows_ext is not None
+    if use_pallas:
+        # shape the chunk planes for the kernel ONCE, outside the scan
+        x2 = (x_chunk[0].reshape(1, -1), x_chunk[1].reshape(1, -1))
 
     def step(st, _):
         if use_pallas:
             new, row_f, row_i = _step_pallas(
-                x_chunk, chunk_len, code_rows_ext, ratios, st, params)
+                x2, chunk_len, code_rows_ext, ratios, st, params)
         else:
             new, row_f, row_i = jax.vmap(
                 lambda s, ct, r: _track_block(x_chunk, chunk_len, ct, r,

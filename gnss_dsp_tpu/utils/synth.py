@@ -16,7 +16,8 @@ def synth_iq(code_pm1: np.ndarray, chip_rate: float, fs: float, n: int,
              amplitude: float = 1.0, rng=None,
              subcarrier: str = "none",
              carrier_ratio: float | None = None,
-             code_doppler_hz: float | None = None) -> np.ndarray:
+             code_doppler_hz: float | None = None,
+             data_bits: np.ndarray | None = None) -> np.ndarray:
     """Complex64 [n] baseband samples of one spread-spectrum signal.
 
     code_phase in chips at sample 0.  When carrier_ratio is given (the
@@ -55,6 +56,10 @@ def synth_iq(code_pm1: np.ndarray, chip_rate: float, fs: float, n: int,
             chips = chips * bp
         else:
             raise ValueError(subcarrier)
+    if data_bits is not None:
+        # ±1 navigation bit per code period, aligned to code-phase zero
+        bits = np.asarray(data_bits, np.float64)
+        chips = chips * bits[np.floor(cp / L).astype(np.int64) % len(bits)]
     carrier = np.exp(2j * np.pi * (carrier_phase + doppler_hz / fs * t))
     sig = amplitude * chips * carrier
     if cn0_dbhz is not None:

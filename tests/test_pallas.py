@@ -68,15 +68,17 @@ def test_kernel_matches_oracle(sub, rng):
     code = rng.choice([-1, 1], L).astype(np.int8)
     n = 4100
     n_tiles = -(-n // ptk.TILE)
-    npad = n_tiles * ptk.TILE
     C = 3
     cf = chip_rate / fs
     W = ptk.chip_window(cf)
     el = 0.25
 
-    x = (rng.standard_normal((C, npad)) + 1j * rng.standard_normal((C, npad)))
+    # shared chunk; each channel reads at its own (deliberately unaligned)
+    # pointer through the kernel's scalar-prefetch block addressing
+    nchunk = (n_tiles + 4) * ptk.TILE
+    xs = rng.standard_normal(nchunk) + 1j * rng.standard_normal(nchunk)
     code_rows = ptk.extend_code(np.tile(code, (C, 1)), W,
-                                int(np.ceil(npad * cf)) + 2)
+                                int(np.ceil((n_tiles + 1) * ptk.TILE * cf)) + 2)
 
     si = np.zeros((C, 9), np.int32)
     sf = np.zeros((C, 4), np.float32)
@@ -88,6 +90,7 @@ def test_kernel_matches_oracle(sub, rng):
         ph0b = int(rng.integers(0, 1 << 32))
         dphb = int(rng.integers(-(1 << 20), 1 << 20))
         nv = n - c * 7
+        ptr = int(rng.integers(0, 3 * ptk.TILE))
 
         def as_i32(v):
             return np.int32(v) if v < (1 << 31) else np.int32(v - (1 << 32))
@@ -101,14 +104,15 @@ def test_kernel_matches_oracle(sub, rng):
         si[c, 5] = as_i32(ph0a)
         si[c, 6] = dphb
         si[c, 7] = as_i32(ph0b)
+        si[c, 8] = ptr
         sf[c, 3] = np.float32(cf)
-        oracle_out[c] = oracle(x[c], code, code_p, cf, el,
+        oracle_out[c] = oracle(xs[ptr:ptr + nv].copy(), code, code_p, cf, el,
                                ph0a, dpha, ph0b, dphb, nv, sub)
 
     got = np.asarray(ptk.epl_correlate(
         jnp.asarray(si), jnp.asarray(sf),
-        jnp.asarray(x.real.astype(np.float32)),
-        jnp.asarray(x.imag.astype(np.float32)),
+        jnp.asarray(xs.real.astype(np.float32))[None, :],
+        jnp.asarray(xs.imag.astype(np.float32))[None, :],
         jnp.asarray(code_rows),
         n_tiles=n_tiles, W=W, sub=sub, interpret=True,
     ))[:, :6]

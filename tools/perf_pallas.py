@@ -22,9 +22,11 @@ def main():
     cf = chip_rate / fs
     W = ptk.chip_window(cf)
     code = rng.choice([-1, 1], (C, L)).astype(np.int8)
-    code_rows = jnp.asarray(ptk.extend_code(code, W, int(npad * cf) + 2))
-    xr = jnp.asarray(rng.standard_normal((C, npad)).astype(np.float32))
-    xi = jnp.asarray(rng.standard_normal((C, npad)).astype(np.float32))
+    code_rows = jnp.asarray(
+        ptk.extend_code(code, W, int((npad + ptk.TILE) * cf) + 2))
+    nchunk = npad + 8 * ptk.TILE
+    xr = jnp.asarray(rng.standard_normal((1, nchunk)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((1, nchunk)).astype(np.float32))
     si = np.zeros((C, 9), np.int32)
     sf = np.zeros((C, 4), np.float32)
     si[:, 0] = 99; si[:, 1] = 100; si[:, 2] = 100
@@ -34,6 +36,7 @@ def main():
     si[:, 5] = rng.integers(0, 1 << 31, C)   # phase0_a
     si[:, 6] = 1 << 12          # dphase_b
     si[:, 7] = rng.integers(0, 1 << 31, C)   # phase0_b
+    si[:, 8] = rng.integers(0, 7 * ptk.TILE, C)  # ptr (mid-tile)
     sf[:, 3] = cf
     si = jnp.asarray(si); sf = jnp.asarray(sf)
 

@@ -22,8 +22,9 @@ from gnss_dsp_tpu.ops import pallas_track as ptk
 cf_nom = sig.chip_rate / fs
 code_rows_ext = jnp.asarray(ptk.extend_code(
     code_np, params_p.pallas_w,
-    int(params_p.pallas_tiles * ptk.TILE * cf_nom * 1.05) + 4))
-pad = params_p.pallas_tiles * ptk.TILE
+    int((params_p.pallas_tiles + 1) * ptk.TILE * cf_nom * 1.05) + 4))
+pad = (params_p.pallas_tiles + 1) * ptk.TILE
+pad += (-(len(x) + pad)) % ptk.TILE
 xp = np.concatenate([x, np.zeros(pad, np.complex64)])
 xd = (jnp.asarray(np.ascontiguousarray(xp.real)),
       jnp.asarray(np.ascontiguousarray(xp.imag)))
