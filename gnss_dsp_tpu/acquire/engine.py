@@ -90,21 +90,64 @@ def chunk_q(xb, code_ffts, w, precision, bf16: bool = False):
     return jnp.sum(mag, axis=2)                            # [P, DC, W]
 
 
-def chunk_q_fused(xb_pad, code_f_perm, w, bt: int):
-    """q [P, DC, W] via the fused Pallas surface kernel — the code-phase
-    axis arrives PERMUTED (ops/pallas_acquire order); the caller converts
-    winning argmax indices with pallas_acquire.perm_to_natural_index."""
-    from gnss_dsp_tpu.ops import pallas_acquire as pa
-
-    W = xb_pad[0].shape[-1]
-    n1, n2 = pa.plan2(W)
+def _mix_fft_perm(xb_pad, w, n1):
+    """Doppler-mix the block windows and forward-transform to the fused
+    kernels' permuted-order bf16 spectra [DC, B, W]."""
     xw = cplx.cmul(
         (xb_pad[0][None, :, :], xb_pad[1][None, :, :]),
         (w[0][:, None, :], w[1][:, None, :]),
     )
-    F = fft.fft_two_level_perm(xw, bf16=True)
-    F = (F[0].astype(jnp.bfloat16), F[1].astype(jnp.bfloat16))
+    F = fft.fft_two_level_perm(xw, bf16=True, n1=n1)
+    return (F[0].astype(jnp.bfloat16), F[1].astype(jnp.bfloat16))
+
+
+def chunk_q_fused(xb_pad, code_f_perm, w, bt: int, plan):
+    """q [P, DC, W] via a fused Pallas surface kernel.
+
+    plan = ("v2", n1, n2): lane-aligned kernel (ops/pallas_acquire2),
+    output code-phase axis in NATURAL order.
+    plan = ("v1", n1, n2): balanced lane-padded kernel, output PERMUTED
+    (caller converts argmax with pallas_acquire.perm_to_natural_index).
+    """
+    version, n1, n2 = plan
+    W = xb_pad[0].shape[-1]
+    if version == "v2":
+        from gnss_dsp_tpu.ops import pallas_acquire2 as pa2
+
+        F = _mix_fft_perm(xb_pad, w, n1)
+        P = code_f_perm[0].shape[0]
+        pc = pa2.pick_pc(W, P)
+        outs = []
+        for i in range(0, P, pc):
+            cf = (code_f_perm[0][i:i + pc], code_f_perm[1][i:i + pc])
+            outs.append(pa2.corr_surface2(F, cf, n1=n1, n2=n2, bt=bt))
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    from gnss_dsp_tpu.ops import pallas_acquire as pa
+
+    F = _mix_fft_perm(xb_pad, w, None)
     return pa.corr_surface(F, code_f_perm, n1=n1, n2=n2, bt=bt)
+
+
+def chunk_red_fused(xb_pad, code_f_perm, w, bt: int, plan):
+    """(peak [P, DC], natural code idx [P, DC], sum [P, DC]) via the v2
+    kernel's in-kernel reduction — the [P, DC, W] surface never leaves
+    VMEM (single-chip fast path)."""
+    from gnss_dsp_tpu.ops import pallas_acquire2 as pa2
+
+    _, n1, n2 = plan
+    W = xb_pad[0].shape[-1]
+    F = _mix_fft_perm(xb_pad, w, n1)
+    P = code_f_perm[0].shape[0]
+    pc = pa2.pick_pc(W, P)
+    outs = []
+    for i in range(0, P, pc):
+        cf = (code_f_perm[0][i:i + pc], code_f_perm[1][i:i + pc])
+        outs.append(pa2.corr_surface2(F, cf, n1=n1, n2=n2, bt=bt,
+                                      reduce=True))
+    if len(outs) == 1:
+        return outs[0]
+    return tuple(jnp.concatenate([o[k] for o in outs], axis=0)
+                 for k in range(3))
 
 
 @partial(
@@ -116,7 +159,7 @@ def grid_search(x, code_ffts, dopp_fixed, dopp_valid,
                 n: int, window: int, blocks: int,
                 peak_mean: bool, dop_chunk: int,
                 precision=jax.lax.Precision.HIGHEST, bf16: bool = False,
-                fused: bool = False, fused_bt: int = 0,
+                fused: tuple | None = None, fused_bt: int = 0,
                 per_chunk: bool = False):
     """Search the full grid; returns per-PRN (metric, code_idx, dop_idx).
 
@@ -125,6 +168,8 @@ def grid_search(x, code_ffts, dopp_fixed, dopp_valid,
     dopp_fixed : int32 [Dp] per-sample NCO increments (FDMA offset included),
                  padded to a multiple of dop_chunk
     dopp_valid : bool [Dp] False on padding entries
+    fused      : None (XLA path) or a ("v1"|"v2", n1, n2) kernel plan —
+                 see chunk_q_fused
     per_chunk  : return [n_chunks, P] results, one per doppler chunk —
                  used to search all GLONASS FDMA channels in one program
                  (chunk == one channel's doppler band)
@@ -151,14 +196,18 @@ def grid_search(x, code_ffts, dopp_fixed, dopp_valid,
         valid = jax.lax.dynamic_slice(dopp_valid, (d0,), (dop_chunk,))
         w = jax.vmap(lambda f: nco.nco_split(f, zero_p, window))(df)  # [DC, W]
 
-        if fused:
-            q = chunk_q_fused(xb, code_ffts, w, fused_bt)
+        if fused and fused[0] == "v2":
+            peak, code_idx, sm = chunk_red_fused(xb, code_ffts, w,
+                                                 fused_bt, fused)
+            metric = peak / (sm / window) if peak_mean else peak
         else:
-            q = chunk_q(xb, code_ffts, w, precision, bf16)
-
-        peak = jnp.max(q, axis=-1)                                    # [P, DC]
-        code_idx = jnp.argmax(q, axis=-1).astype(jnp.int32)
-        metric = peak / jnp.mean(q, axis=-1) if peak_mean else peak
+            if fused:
+                q = chunk_q_fused(xb, code_ffts, w, fused_bt, fused)
+            else:
+                q = chunk_q(xb, code_ffts, w, precision, bf16)
+            peak = jnp.max(q, axis=-1)                                # [P, DC]
+            code_idx = jnp.argmax(q, axis=-1).astype(jnp.int32)
+            metric = peak / jnp.mean(q, axis=-1) if peak_mean else peak
         metric = jnp.where(valid[None, :], metric, -jnp.inf)
 
         ch_best = jnp.argmax(metric, axis=-1)                         # [P]
@@ -209,22 +258,52 @@ def doppler_grid(sig, doppler_search, chan: int = 0):
     return dops, fixed
 
 
-def _fused_ok(window: int) -> bool:
+def _fused_plan(window: int):
+    """Kernel plan for `window`, preferring the lane-aligned v2 kernel
+    (zero padding, natural-order output); v1 covers the non-128-multiple
+    windows (30690/61380 family).  None -> XLA path."""
     import os
 
     import jax as _jax
 
     if os.environ.get("GNSS_DSP_NO_PALLAS"):
-        return False
+        return None
     if _jax.default_backend() == "cpu":
-        return False
+        return None
+    try:
+        from gnss_dsp_tpu.ops import pallas_acquire2 as pa2
+
+        n1, n2 = pa2.plan_aligned(window)
+        return ("v2", n1, n2)
+    except ValueError:
+        pass
     try:
         from gnss_dsp_tpu.ops import pallas_acquire as pa
 
-        pa.plan2(window)
-        return True
+        n1, n2 = pa.plan2(window)
+        return ("v1", n1, n2)
     except ValueError:
-        return False
+        return None
+
+
+def _fused_bt(plan, window: int, blocks: int, n_prn: int) -> int:
+    """Block-group size: v1 keeps the historical VMEM heuristic; v2
+    delegates to the kernel's own VMEM model (and group multiple)."""
+    if plan[0] == "v2":
+        from gnss_dsp_tpu.ops import pallas_acquire2 as pa2
+
+        return pa2.pick_bt(window, blocks)
+    return max(1, min(blocks, 40, (1 << 20) // (window * 4)))
+
+
+def _prep_fused_codes(cf_host, plan):
+    if plan[0] == "v2":
+        from gnss_dsp_tpu.ops import pallas_acquire2 as pa2
+
+        return pa2.permute_host2(cf_host, plan[1], plan[2])
+    from gnss_dsp_tpu.ops import pallas_acquire as pa
+
+    return pa.permute_host(cf_host)
 
 
 def acquire_signal(sig, x_int, prns, doppler_search=None, ms: int = 80,
@@ -249,8 +328,7 @@ def acquire_signal(sig, x_int, prns, doppler_search=None, ms: int = 80,
     n = int(round(sig.acq_fs * sig.acq_coherent_ms / 1000.0))
     window = 2 * n if (sig.acq_pad2 or sig.acq_sliding) else n
     blocks = _block_count(sig, ms)
-    use_fused = (engine == "fused"
-                 or (engine == "auto" and _fused_ok(window)))
+    plan = _fused_plan(window) if engine in ("fused", "auto") else None
     dops, fixed = doppler_grid(sig, doppler_search, chan)
 
     if dop_chunk is None:
@@ -265,13 +343,9 @@ def acquire_signal(sig, x_int, prns, doppler_search=None, ms: int = 80,
     valid[: len(fixed)] = True
 
     cf_host = build_code_ffts(sig, prns, n, window)
-    if use_fused:
-        from gnss_dsp_tpu.ops import pallas_acquire as pa
-
-        cf_host = pa.permute_host(cf_host)
-        # block group sized so the kernel's VMEM working set (F tiles +
-        # two f32 stage intermediates) stays within the 16 MB budget
-        fused_bt = max(1, min(blocks, 40, (1 << 20) // (window * 4)))
+    if plan:
+        cf_host = _prep_fused_codes(cf_host, plan)
+        fused_bt = _fused_bt(plan, window, blocks, len(prns))
     else:
         fused_bt = 0
     code_ffts = cplx.from_numpy(cf_host)
@@ -281,11 +355,13 @@ def acquire_signal(sig, x_int, prns, doppler_search=None, ms: int = 80,
         n=n, window=window, blocks=blocks,
         peak_mean=(sig.acq_metric == "peak_mean"),
         dop_chunk=dop_chunk, precision=precision, bf16=bf16,
-        fused=use_fused, fused_bt=fused_bt,
+        fused=plan, fused_bt=fused_bt,
     )
     metric = np.asarray(metric)
     code_idx = np.asarray(code_idx)
-    if use_fused:
+    if plan and plan[0] == "v1":
+        from gnss_dsp_tpu.ops import pallas_acquire as pa
+
         code_idx = pa.perm_to_natural_index(code_idx, window)
     dop_idx = np.asarray(dop_idx)
     out = []
@@ -311,8 +387,7 @@ def acquire_signal_fdma(sig, x_int, chans, doppler_search=None, ms: int = 80,
     n = int(round(sig.acq_fs * sig.acq_coherent_ms / 1000.0))
     window = 2 * n if (sig.acq_pad2 or sig.acq_sliding) else n
     blocks = _block_count(sig, ms)
-    use_fused = (engine == "fused"
-                 or (engine == "auto" and _fused_ok(window)))
+    plan = _fused_plan(window) if engine in ("fused", "auto") else None
 
     dops_all, fixed_all = [], []
     for chan in chans:
@@ -324,11 +399,9 @@ def acquire_signal_fdma(sig, x_int, chans, doppler_search=None, ms: int = 80,
     valid = np.ones(len(fixed_p), bool)
 
     cf_host = build_code_ffts(sig, (chans[0],), n, window)
-    if use_fused:
-        from gnss_dsp_tpu.ops import pallas_acquire as pa
-
-        cf_host = pa.permute_host(cf_host)
-        fused_bt = max(1, min(blocks, 40, (1 << 20) // (window * 4)))
+    if plan:
+        cf_host = _prep_fused_codes(cf_host, plan)
+        fused_bt = _fused_bt(plan, window, blocks, 1)
     else:
         fused_bt = 0
     code_ffts = cplx.from_numpy(cf_host)
@@ -338,13 +411,13 @@ def acquire_signal_fdma(sig, x_int, chans, doppler_search=None, ms: int = 80,
         x, code_ffts, jnp.asarray(fixed_p), jnp.asarray(valid),
         n=n, window=window, blocks=blocks,
         peak_mean=(sig.acq_metric == "peak_mean"),
-        dop_chunk=D, precision=precision, fused=use_fused,
+        dop_chunk=D, precision=precision, fused=plan,
         fused_bt=fused_bt, per_chunk=True,
     )
     metric = np.asarray(metric)[:, 0]
     code_idx = np.asarray(code_idx)[:, 0]
     dop_idx = np.asarray(dop_idx)[:, 0]
-    if use_fused:
+    if plan and plan[0] == "v1":
         from gnss_dsp_tpu.ops import pallas_acquire as pa
 
         code_idx = pa.perm_to_natural_index(code_idx, window)

@@ -134,15 +134,21 @@ def ml_dtypes_bf16():
 
 
 def fft_two_level_perm(x, precision=jax.lax.Precision.HIGHEST,
-                       bf16: bool = False):
+                       bf16: bool = False, n1: int | None = None):
     """Forward DFT for two-level sizes, output flat in PERMUTED order
     p = k1*n2 + k2 (the natural four-step layout before its final
-    transpose) — feeds ops/pallas_acquire.corr_surface, which consumes
-    exactly this order."""
+    transpose) — feeds the fused surface kernels (ops/pallas_acquire
+    consumes the default balanced split; ops/pallas_acquire2 passes its
+    lane-aligned n1 explicitly)."""
     n = x[0].shape[-1]
-    n1 = _best_split(n)
+    if n1 is None:
+        n1 = _best_split(n)
     n2 = n // n1
-    assert 2 <= n1 <= MAX_DIRECT and n2 <= MAX_DIRECT, (n1, n2)
+    assert n1 * n2 == n, (n, n1)
+    # n2 may exceed MAX_DIRECT: a dense [n2, n2] DFT matmul is exactly
+    # what the MXU wants; the cap only bounds constant-table size
+    # (pallas_acquire2.plan_aligned's VMEM budget keeps n2 <= ~640)
+    assert 2 <= n1 <= MAX_DIRECT and n2 <= 1024, (n1, n2)
     dtype = ml_dtypes_bf16() if bf16 else np.float32
     if bf16:
         x = (x[0].astype(jnp.bfloat16), x[1].astype(jnp.bfloat16))

@@ -44,7 +44,7 @@ from gnss_dsp_tpu.acquire import engine as _eng
 def grid_search_sharded(x, code_ffts, dopp_fixed, dopp_valid,
                         n: int, window: int, blocks: int,
                         peak_mean: bool, dop_chunk: int, mesh,
-                        fused: bool = False, fused_bt: int = 0):
+                        fused: tuple | None = None, fused_bt: int = 0):
     """Sharded twin of acquire.engine.grid_search.
 
     x          : split-complex [>= (blocks-1)*n + window] (replicated)
@@ -52,9 +52,10 @@ def grid_search_sharded(x, code_ffts, dopp_fixed, dopp_valid,
                  (PERMUTED order + bf16 when fused, as in engine.grid_search)
     dopp_fixed : int32 [Dp], Dp % dop_chunk == 0 (padded, see engine)
     dopp_valid : bool [Dp]
-    fused      : per-shard surfaces via the Pallas corr_surface kernel
-                 (the psum over 'time' is elementwise, so the permuted
-                 code-phase order commutes with it)
+    fused      : None or an engine ("v1"|"v2", n1, n2) kernel plan for
+                 per-shard surfaces via a Pallas kernel (the psum over
+                 'time' is elementwise, so any fixed code-phase order
+                 commutes with it)
     Returns per-PRN (metric [P], code_idx [P], dop_idx [P]).
     """
     nsat = mesh.shape["sat"]
@@ -87,7 +88,7 @@ def grid_search_sharded(x, code_ffts, dopp_fixed, dopp_valid,
             w = jax.vmap(lambda f: nco.nco_split(f, zero_p, window))(df)
 
             if fused:
-                q = _eng.chunk_q_fused(xb, cf, w, fused_bt)
+                q = _eng.chunk_q_fused(xb, cf, w, fused_bt, fused)
             else:
                 q = _eng.chunk_q(xb, cf, w, jax.lax.Precision.HIGHEST)
             # the non-coherent accumulation is the only cross-shard term
@@ -147,8 +148,7 @@ def acquire_signal_sharded(sig, x_int, prns, mesh, doppler_search=None,
     n = int(round(sig.acq_fs * sig.acq_coherent_ms / 1000.0))
     window = 2 * n if (sig.acq_pad2 or sig.acq_sliding) else n
     blocks = _eng._block_count(sig, ms)
-    use_fused = (engine == "fused"
-                 or (engine == "auto" and _eng._fused_ok(window)))
+    plan = _eng._fused_plan(window) if engine in ("fused", "auto") else None
     dops, fixed = _eng.doppler_grid(sig, doppler_search, chan)
 
     nsat = mesh.shape["sat"]
@@ -166,15 +166,14 @@ def acquire_signal_sharded(sig, x_int, prns, mesh, doppler_search=None,
     valid[: len(fixed)] = True
 
     cf_host = _eng.build_code_ffts(sig, prns_pad, n, window)
-    if use_fused:
-        from gnss_dsp_tpu.ops import pallas_acquire as pa
-
-        cf_host = pa.permute_host(cf_host)
-        fused_bt = max(1, min(blocks, 40, (1 << 20) // (window * 4)))
+    if plan:
+        cf_host = _eng._prep_fused_codes(cf_host, plan)
+        fused_bt = _eng._fused_bt(plan, window, blocks,
+                                  len(prns_pad) // nsat)
     else:
         fused_bt = 0
     code_ffts = cplx.from_numpy(cf_host)
-    if use_fused:
+    if plan:
         code_ffts = (code_ffts[0].astype(jnp.bfloat16),
                      code_ffts[1].astype(jnp.bfloat16))
     x = cplx.from_numpy(x_int) if not isinstance(x_int, tuple) else x_int
@@ -183,11 +182,11 @@ def acquire_signal_sharded(sig, x_int, prns, mesh, doppler_search=None,
         n=n, window=window, blocks=blocks,
         peak_mean=(sig.acq_metric == "peak_mean"),
         dop_chunk=dop_chunk, mesh=mesh,
-        fused=use_fused, fused_bt=fused_bt,
+        fused=plan, fused_bt=fused_bt,
     )
     metric = np.asarray(metric)
     code_idx = np.asarray(code_idx)
-    if use_fused:
+    if plan and plan[0] == "v1":
         from gnss_dsp_tpu.ops import pallas_acquire as pa
 
         code_idx = pa.perm_to_natural_index(code_idx, window)

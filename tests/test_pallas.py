@@ -59,9 +59,12 @@ def oracle(x, code, code_p, cf, el, ph0a, dpha, ph0b, dphb, n_valid, sub):
     return np.array(out)
 
 
-@pytest.mark.parametrize("sub", ["none", "boc11", "cboc", "tmboc",
-                                 "rz_even", "rz_odd"])
-def test_kernel_matches_oracle(sub, rng):
+@pytest.mark.parametrize("sub,stream", [
+    ("none", False), ("boc11", False), ("cboc", False), ("tmboc", False),
+    ("rz_even", False), ("rz_odd", False),
+    ("none", True), ("boc11", True),   # HBM-streamed code windows
+])
+def test_kernel_matches_oracle(sub, stream, rng):
     fs = 4.096e6
     chip_rate = 1.023e6
     L = 1023
@@ -114,7 +117,7 @@ def test_kernel_matches_oracle(sub, rng):
         jnp.asarray(xs.real.astype(np.float32))[None, :],
         jnp.asarray(xs.imag.astype(np.float32))[None, :],
         jnp.asarray(code_rows),
-        n_tiles=n_tiles, W=W, sub=sub, interpret=True,
+        n_tiles=n_tiles, W=W, sub=sub, stream=stream, interpret=True,
     ))[:, :6]
 
     scale = np.abs(oracle_out).max()
@@ -151,6 +154,54 @@ def test_corr_surface_matches_numpy(rng):
     q_nat[..., j] = q
     err = np.abs(q_nat - q_want) / np.abs(q_want).max()
     assert err.max() < 2e-2, err.max()
+
+
+def test_corr_surface2_matches_numpy(rng):
+    """Lane-aligned v2 surface kernel (ops/pallas_acquire2) vs a numpy
+    FFT oracle; output is in NATURAL order (no index conversion)."""
+    import jax.numpy as jnp
+    from gnss_dsp_tpu.ops import pallas_acquire2 as pa2
+    from gnss_dsp_tpu.ops import fft as fftm, cplx
+
+    W, P, DC, B, bt = 4096, 3, 2, 8, 4
+    n1, n2 = pa2.plan_aligned(W)
+    assert n2 % 128 == 0 and n1 * n2 == W
+    x = rng.standard_normal((DC, B, W)) + 1j * rng.standard_normal((DC, B, W))
+    c = rng.standard_normal((P, W)) + 1j * rng.standard_normal((P, W))
+
+    F_ref = np.fft.fft(x, axis=-1)
+    C_ref = np.fft.fft(c, axis=-1)
+    R = np.fft.ifft(C_ref[:, None, None, :] * np.conj(F_ref)[None], axis=-1)
+    q_want = np.abs(R).sum(axis=2)
+
+    Fp = fftm.fft_two_level_perm(cplx.from_numpy(x), bf16=True, n1=n1)
+    F16 = (Fp[0].astype(jnp.bfloat16), Fp[1].astype(jnp.bfloat16))
+    Cp = pa2.permute_host2(C_ref, n1, n2)
+    code_f = (jnp.asarray(Cp.real.astype(np.float32)).astype(jnp.bfloat16),
+              jnp.asarray(Cp.imag.astype(np.float32)).astype(jnp.bfloat16))
+    q = np.asarray(pa2.corr_surface2(F16, code_f, n1=n1, n2=n2, bt=bt,
+                                     interpret=True))
+    err = np.abs(q - q_want) / np.abs(q_want).max()
+    assert err.max() < 2e-2, err.max()
+
+    # in-kernel reduction path agrees with the surface
+    peak, idx, sm = pa2.corr_surface2(F16, code_f, n1=n1, n2=n2, bt=bt,
+                                      reduce=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(peak), q.max(-1), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx), q.argmax(-1))
+    np.testing.assert_allclose(np.asarray(sm), q.sum(-1), rtol=1e-4)
+
+    # planted peak lands at the exact natural lag (zero-padded blocks,
+    # mirroring the engine's pad-to-bt)
+    g = pa2.pick_g(n1)
+    shift = 1234
+    x2 = np.zeros((1, g, W), complex)
+    x2[0, 0] = np.roll(c[0], shift)
+    F2 = fftm.fft_two_level_perm(cplx.from_numpy(x2), bf16=True, n1=n1)
+    F216 = (F2[0].astype(jnp.bfloat16), F2[1].astype(jnp.bfloat16))
+    q2 = np.asarray(pa2.corr_surface2(F216, code_f, n1=n1, n2=n2, bt=g,
+                                      interpret=True))
+    assert int(np.argmax(q2[0, 0])) == (W - shift) % W
 
 
 def test_corr_surface_padded_window(rng):
