@@ -109,7 +109,7 @@ _GROUPS = (
 
 
 def _kernel(si_ref, sf_ref, xr_ref, xi_ref, code_ref, out_ref, acc,
-            *, grid_tiles, W, sub):
+            win_ref=None, dma_sem=None, *, grid_tiles, W, sub, stream):
     c = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -215,8 +215,23 @@ def _kernel(si_ref, sf_ref, xr_ref, xi_ref, code_ref, out_ref, acc,
         seg = jnp.dot(m16, oh, preferred_element_type=jnp.float32)  # [16, W2]
 
         # code windows at chip shifts -1/0/+1: one wide aligned read,
-        # lane-rolled (the wrapped element falls outside [128, 128+W2))
-        cwbig = code_ref[0, :, pl.ds(pl.multiple_of(sa - 128, 128), W2 + 256)]
+        # lane-rolled (the wrapped element falls outside [128, 128+W2)).
+        # stream=True keeps the (possibly multi-million-chip) extended row
+        # in HBM and DMAs just this tile's [sa-128, sa+W2+128) window into
+        # a VMEM scratch — GLONASS P / L2CL rows cannot be VMEM-resident
+        # (glonass/p.py:7-20: 5.11M chips -> 20 MB f32 per channel)
+        if stream:
+            dma = pltpu.make_async_copy(
+                code_ref.at[c, :, pl.ds(pl.multiple_of(sa - 128, 128),
+                                        W2 + 256)],
+                win_ref,
+                dma_sem,
+            )
+            dma.start()
+            dma.wait()
+            cwbig = win_ref[0:1, :]
+        else:
+            cwbig = code_ref[0, :, pl.ds(pl.multiple_of(sa - 128, 128), W2 + 256)]
         cw = cwbig[:, 128:128 + W2]
         cwm = pltpu.roll(cwbig, shift=1, axis=1)[:, 128:128 + W2]
         cwp = pltpu.roll(cwbig, shift=W2 + 255, axis=1)[:, 128:128 + W2]
@@ -243,10 +258,11 @@ def _kernel(si_ref, sf_ref, xr_ref, xi_ref, code_ref, out_ref, acc,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_tiles", "W", "sub", "interpret"),
+    jax.jit, static_argnames=("n_tiles", "W", "sub", "stream", "interpret"),
 )
 def epl_correlate(si, sf, xr, xi, code_rows,
-                  n_tiles: int, W: int, sub: str, interpret: bool = False):
+                  n_tiles: int, W: int, sub: str, stream: bool = False,
+                  interpret: bool = False):
     """Batched fused correlator over a SHARED sample chunk.
 
     si [C, 9] int32 : vint_e, vint_p, vint_l, dphase_a, n_valid, phase0_a,
@@ -257,35 +273,44 @@ def epl_correlate(si, sf, xr, xi, code_rows,
                       per-channel tiles are DMA'd via the scalar-prefetch
                       index map (no host-side slicing)
     code_rows [C, LPAD] f32: per-channel code from extend_code()
+    stream : keep code_rows in HBM and DMA only each tile's <= W2+256-lane
+             window into VMEM scratch — required for multi-million-chip
+             codes (GLONASS P, L2CL) whose extended rows exceed VMEM.
     Returns [C, 128] f32; columns 0..5 = E_re, E_im, P_re, P_im, L_re, L_im.
     """
     C = si.shape[0]
     grid_tiles = n_tiles + 1          # +1: ptr lands mid-tile
     grid = (C, grid_tiles)
+    W2 = W + 128
+    chunk_spec = pl.BlockSpec((1, TILE),
+                              lambda c, j, si, sf: (0, si[c, 8] // TILE + j),
+                              memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((1, 128), jnp.float32)]
+    if stream:
+        code_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        code_arg = code_rows[:, None, :]
+        scratch += [pltpu.VMEM((1, W2 + 256), jnp.float32),
+                    pltpu.SemaphoreType.DMA]
+    else:
+        code_spec = pl.BlockSpec((1, 1, code_rows.shape[1]),
+                                 lambda c, j, si, sf: (c, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        code_arg = code_rows[:, None, :]
     return pl.pallas_call(
-        functools.partial(_kernel, grid_tiles=grid_tiles, W=W, sub=sub),
+        functools.partial(_kernel, grid_tiles=grid_tiles, W=W, sub=sub,
+                          stream=stream),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, TILE),
-                             lambda c, j, si, sf: (0, si[c, 8] // TILE + j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TILE),
-                             lambda c, j, si, sf: (0, si[c, 8] // TILE + j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, code_rows.shape[1]),
-                             lambda c, j, si, sf: (c, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=[chunk_spec, chunk_spec, code_spec],
             out_specs=pl.BlockSpec((1, 1, 128),
                                    lambda c, j, si, sf: (c, 0, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((1, 128), jnp.float32)],
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((C, 1, 128), jnp.float32),
         interpret=interpret,
-    )(si, sf, xr, xi, code_rows[:, None, :])[:, 0, :]
+    )(si, sf, xr, xi, code_arg)[:, 0, :]
 
 
 def extend_code(code_pm1: np.ndarray, W: int, max_advance_chips: int) -> np.ndarray:

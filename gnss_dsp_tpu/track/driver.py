@@ -90,18 +90,22 @@ class TrackChannel:
     recovered: np.ndarray | None = None   # complex per-chip recovery bins
 
 
+# above this, the extended f32 code row is streamed from HBM tile-by-tile
+# inside the kernel instead of living VMEM-resident (GLONASS P: 5.11M
+# chips -> 20 MB/channel; L2CL: 767250 -> 3 MB).  Everything the reference
+# ships is either <= 10230 chips or >= 767250, so any cut between works.
+_STREAM_CODE_CHIPS = 100_000
+
+
 def _pallas_ok(sig, fs: float, n_channels: int = 1) -> bool:
-    """Use the fused Pallas correlator on accelerator backends when the
-    extended f32 code rows fit comfortably in VMEM (excludes the
-    multi-million-chip GLONASS P table)."""
+    """Use the fused Pallas correlator on accelerator backends; long codes
+    take the HBM-streamed window path (pallas_track stream=True)."""
     import os
     import jax
 
     if os.environ.get("GNSS_DSP_NO_PALLAS"):
         return False
-    if jax.default_backend() == "cpu":
-        return False
-    return sig.code_length <= 800_000
+    return jax.default_backend() != "cpu"
 
 
 def make_params(sig, fs: float, coffset: float, loop_dwells=(500, 500),
@@ -151,6 +155,8 @@ def make_params(sig, fs: float, coffset: float, loop_dwells=(500, 500),
         use_pallas=bool(use_pallas),
         pallas_tiles=int(pallas_tiles),
         pallas_w=int(pallas_w),
+        pallas_stream=bool(use_pallas
+                           and sig.code_length > _STREAM_CODE_CHIPS),
         recover_after=int(recover_after),
     )
 

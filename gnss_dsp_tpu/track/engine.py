@@ -76,6 +76,9 @@ class TrackParams(NamedTuple):
     use_pallas: bool = False   # fused gather-free correlator (TPU only)
     pallas_tiles: int = 0      # ceil(nmax / pallas_track.TILE)
     pallas_w: int = 0          # chip window (pallas_track.chip_window)
+    pallas_stream: bool = False  # HBM-streamed code windows: multi-M-chip
+                               # codes (GLONASS P, L2CL) whose extended
+                               # rows cannot live VMEM-resident
     recover_after: int = -1    # unknown-code recovery: accumulate wiped
                                # samples into per-chip bins once
                                # block > recover_after; -1 = off
@@ -404,6 +407,13 @@ def _step_pallas(x2, chunk_len, code_rows_ext, ratios,
     carr_p0 = (jnp.mod(st.carrier_p, 1.0) * jnp.float32(2.0**32)
                ).astype(jnp.uint32).astype(jnp.int32)
     C = st.ptr.shape[0]
+    # a channel still waiting for its first code boundary (or stalled at
+    # chunk end) can hold ptr beyond the chunk; its results are discarded
+    # (ok=False) but the kernel's BlockSpec index map — unlike
+    # dynamic_slice — does NOT clamp, so an out-of-range ptr faults the
+    # DMA.  Clamp to the last fully-addressable tile.
+    ptr_k = jnp.clip(st.ptr, 0,
+                     x2[0].shape[1] - (p.pallas_tiles + 1) * ptk.TILE)
     si = jnp.stack([
         vint_e, vint_p, vint_l,
         jnp.full((C,), jnp.int32(p.coffset_df_fixed)),
@@ -411,7 +421,7 @@ def _step_pallas(x2, chunk_len, code_rows_ext, ratios,
         st.coffset_p.astype(jnp.int32),
         carr_df,
         carr_p0,
-        st.ptr,
+        ptr_k,
     ], axis=1)
     sf = jnp.stack([fr_e, fr_p, fr_l, cf], axis=1)
 
@@ -420,6 +430,7 @@ def _step_pallas(x2, chunk_len, code_rows_ext, ratios,
     sums = ptk.epl_correlate(
         si, sf, x2[0], x2[1], code_rows_ext,
         n_tiles=p.pallas_tiles, W=p.pallas_w, sub=p.subcarrier,
+        stream=p.pallas_stream,
     )
     p_early = (sums[:, 0], sums[:, 1])
     p_prompt = (sums[:, 2], sums[:, 3])
