@@ -296,3 +296,105 @@ def test_track_gps_l2cm_matches_reference(tmp_path):
     ours = np.array([[float(v) for v in r.split()] for r in our_rows[:nb]])
     assert abs(np.mean(ref[-25:, 3]) - np.mean(ours[-25:, 3])) < 3.0
     assert abs(np.mean(ref[-25:, 7]) / np.mean(ours[-25:, 7]) - 1) < 0.06
+
+
+# ---------------------------------------------------------------------------
+# Standalone utilities (VERDICT round-1 item 9): cn0 / squaring subprocess
+# diffs against the actual reference binaries; spectrum --text against an
+# inline oracle of the reference math (the reference spectrum.py only ever
+# renders into a matplotlib window — spectrum.py:49-57 — so its PSD values
+# cannot be captured from a subprocess).
+
+def _run_stdin(cmd, data, binary=False, env=None):
+    out = subprocess.run(cmd, input=data, capture_output=True,
+                         timeout=600, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout if binary else out.stdout.decode()
+
+
+def test_cn0_matches_reference():
+    """cn0.py: identical '%.2f' lines from the same track rows
+    (reference cn0.py:8-25, incl. its quirk of taking columns 1,2)."""
+    rng = np.random.default_rng(3)
+    nrows = 750   # 2 full 300 ms blocks + a discarded partial
+    amp, sigma = 1200.0, 180.0
+    rows = []
+    for i in range(nrows):
+        xi = amp * rng.choice([-1.0, 1.0]) + sigma * rng.standard_normal()
+        xq = sigma * rng.standard_normal()
+        rows.append("%d %f %f 0.0 0.0 0.0 1.0 2.0 1.0" % (i, xi, xq))
+    data = ("\n".join(rows) + "\n").encode()
+
+    env = dict(os.environ, PYTHONPATH=REF)
+    ref = _run_stdin([sys.executable, os.path.join(REF, "cn0.py")],
+                     data, env=env)
+    ours = _run_stdin([sys.executable, os.path.join(REPO, "scripts", "cn0.py")],
+                      data, env=dict(os.environ, GNSS_DSP_CPU="1"))
+    assert ref.strip() and ref.strip() == ours.strip(), (ref, ours)
+
+
+def test_squaring_matches_reference(tmp_path):
+    """squaring.py: identical int16 stream (reference squaring.py:22-42 —
+    mix, boxcar-16, square, 100 sums, x20 round)."""
+    rng = np.random.default_rng(4)
+    nsamp = 2 * 1000 * 16 * 100          # two full output blocks
+    x = 0.35 * (rng.standard_normal(nsamp) + 1j * rng.standard_normal(nsamp))
+    x += 0.25 * np.exp(2j * np.pi * 0.013 * np.arange(nsamp))
+    from gnss_dsp_tpu.utils.synth import to_int8_iq
+    p = os.path.join(tmp_path, "squaring.iq")
+    with open(p, "wb") as f:
+        f.write(to_int8_iq(x, scale=40.0))
+
+    args = [p, "4096000", "17000"]
+    env = dict(os.environ, PYTHONPATH=REF)
+    # numpy tofile(sys.stdout) needs a seekable stream — give the
+    # reference a real file, not a pipe
+    refout = os.path.join(tmp_path, "ref.out")
+    with open(refout, "wb") as fh:
+        done = subprocess.run(
+            [sys.executable, os.path.join(REF, "squaring.py")] + args,
+            stdout=fh, stderr=subprocess.PIPE, timeout=600, env=env)
+    assert done.returncode == 0, done.stderr[-2000:]
+    with open(refout, "rb") as fh:
+        ref = fh.read()
+    ours = _run_stdin(
+        [sys.executable, os.path.join(REPO, "scripts", "squaring.py")] + args,
+        b"", binary=True, env=dict(os.environ, GNSS_DSP_CPU="1"))
+    r = np.frombuffer(ref, np.int16)
+    o = np.frombuffer(ours, np.int16)
+    assert r.shape == o.shape and len(r) == 2 * 2000
+    # f32 accumulation vs the reference's float64 can flip the final
+    # round-to-int16 by one count on a handful of bins
+    d = np.abs(r.astype(np.int32) - o.astype(np.int32))
+    assert d.max() <= 1 and (d == 0).mean() > 0.9, (d.max(), (d == 0).mean())
+
+
+def test_spectrum_text_matches_reference_math(tmp_path):
+    """spectrum --text vs the reference PSD pipeline (spectrum.py:49-57:
+    Hann window, |fft|^2/ns average, 10log10, fftshift; axis :18)."""
+    rng = np.random.default_rng(5)
+    n, ns, fc, fs = 512, 6, 1575.42e6, 4.096e6
+    x = 0.5 * (rng.standard_normal(n * ns) + 1j * rng.standard_normal(n * ns))
+    x += 0.3 * np.exp(2j * np.pi * 0.07 * np.arange(n * ns))
+    from gnss_dsp_tpu.utils.synth import to_int8_iq
+    p = os.path.join(tmp_path, "spec.iq")
+    with open(p, "wb") as f:
+        f.write(to_int8_iq(x, scale=50.0))
+
+    out = run_ours("spectrum.py", ["--text", p, "%f" % fc, "%f" % fs,
+                                   str(n), str(ns)])
+    got = np.array([[float(v) for v in r.split()] for r in out])
+    assert got.shape == (n, 2)
+
+    # oracle: the reference's exact math on the same int8 stream
+    xi = np.fromfile(p, np.int8).astype(np.float64)
+    xq = (xi[0::2] + 1j * xi[1::2])[: n * ns]
+    w = np.hanning(n)
+    psd = np.zeros(n)
+    for k in range(ns):
+        z = np.fft.fft(xq[k * n:(k + 1) * n] * w)
+        psd += np.real(z * np.conj(z)) / ns
+    want = 10 * np.log10(np.fft.fftshift(psd))
+    freqs = fc + fs * ((np.arange(n) - n / 2.0) / n)   # spectrum.py:18
+    np.testing.assert_allclose(got[:, 0], freqs, atol=0.05)
+    np.testing.assert_allclose(got[:, 1], want, atol=5e-3)
