@@ -51,7 +51,8 @@ def grid_search_sharded(x, code_ffts, dopp_fixed, dopp_valid,
     code_ffts  : split-complex [P, window]; P % mesh('sat') == 0
                  (PERMUTED order + bf16 when fused, as in engine.grid_search)
     dopp_fixed : int32 [Dp], Dp % dop_chunk == 0 (padded, see engine)
-    dopp_valid : bool [Dp]
+    dopp_valid : bool [Dp] shared by every PRN, or [P, Dp] per-PRN (the
+                 FDMA twin: each channel's band is its own valid window)
     fused      : None or an engine ("v1"|"v2", n1, n2) kernel plan for
                  per-shard surfaces via a Pallas kernel (the psum over
                  'time' is elementwise, so any fixed code-phase order
@@ -84,7 +85,12 @@ def grid_search_sharded(x, code_ffts, dopp_fixed, dopp_valid,
             best_metric, best_code, best_dop = carry
             d0 = ci * dop_chunk
             df = jax.lax.dynamic_slice(dopp_fixed, (d0,), (dop_chunk,))
-            valid = jax.lax.dynamic_slice(dopp_valid, (d0,), (dop_chunk,))
+            if dopp_valid.ndim == 2:       # per-PRN bands (FDMA)
+                valid = jax.lax.dynamic_slice(
+                    dopp_valid, (0, d0), (Pl, dop_chunk))
+            else:
+                valid = jax.lax.dynamic_slice(
+                    dopp_valid, (d0,), (dop_chunk,))[None, :]
             w = jax.vmap(lambda f: nco.nco_split(f, zero_p, window))(df)
 
             if fused:
@@ -97,7 +103,7 @@ def grid_search_sharded(x, code_ffts, dopp_fixed, dopp_valid,
             peak = jnp.max(q, axis=-1)
             code_idx = jnp.argmax(q, axis=-1).astype(jnp.int32)
             metric = peak / jnp.mean(q, axis=-1) if peak_mean else peak
-            metric = jnp.where(valid[None, :], metric, -jnp.inf)
+            metric = jnp.where(valid, metric, -jnp.inf)
             ch_best = jnp.argmax(metric, axis=-1)
             ch_metric = jnp.take_along_axis(metric, ch_best[:, None], 1)[:, 0]
             ch_code = jnp.take_along_axis(code_idx, ch_best[:, None], 1)[:, 0]
@@ -118,13 +124,14 @@ def grid_search_sharded(x, code_ffts, dopp_fixed, dopp_valid,
         )
         return metric, code_idx, dop_idx
 
+    valid_spec = P("sat", None) if dopp_valid.ndim == 2 else P()
     shard = shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(
             (P(), P()),                  # x replicated
             (P("sat", None), P("sat", None)),  # code FFTs sharded by PRN
-            P(), P(),
+            P(), valid_spec,
         ),
         out_specs=(P("sat"), P("sat"), P("sat")),
         check_rep=False,
@@ -199,3 +206,127 @@ def acquire_signal_sharded(sig, x_int, prns, mesh, doppler_search=None,
             metric=float(metric[i]), code_offset=code,
         ))
     return out
+
+
+def acquire_signal_fdma_sharded(sig, x_int, chans, mesh, doppler_search=None,
+                                ms: int = 80, dop_chunk: int | None = None,
+                                engine: str = "auto"):
+    """Mesh twin of acquire.engine.acquire_signal_fdma (GLONASS L1/L2).
+
+    FDMA channels share ONE m-sequence (glonass/ca.py:10-22), so the
+    "sat" axis shards CHANNELS: the single code-FFT row is replicated
+    per channel and each channel's band becomes a per-row validity
+    window over the concatenated doppler grid — grid_search_sharded's
+    2-D dopp_valid.  psum over 'time' is unchanged.
+    Returns list[AcqResult] in channel order (prn field = channel).
+    """
+    doppler_search = doppler_search or sig.doppler_default
+    n = int(round(sig.acq_fs * sig.acq_coherent_ms / 1000.0))
+    window = 2 * n if (sig.acq_pad2 or sig.acq_sliding) else n
+    blocks = _eng._block_count(sig, ms)
+    plan = _eng._fused_plan(window) if engine in ("fused", "auto") else None
+
+    dops_all, fixed_all = [], []
+    for chan in chans:
+        dops, fixed = _eng.doppler_grid(sig, doppler_search, chan)
+        dops_all.append(dops)
+        fixed_all.append(fixed)
+    D = len(dops_all[0])
+    nsat = mesh.shape["sat"]
+    C = len(chans)
+    Cp = C + (-C) % nsat
+
+    if dop_chunk is None:
+        budget = 256 * 2**20 // max((Cp // nsat) * window * 8, 1)
+        dop_chunk = int(np.clip(budget, 1, C * D))
+    Dp = -(-(C * D) // dop_chunk) * dop_chunk
+    fixed_p = np.zeros(Dp, np.int32)
+    fixed_p[: C * D] = np.concatenate(fixed_all).astype(np.int32)
+    valid2 = np.zeros((Cp, Dp), bool)
+    for i in range(Cp):
+        j = min(i, C - 1)          # padding rows mirror the last channel
+        valid2[i, j * D: (j + 1) * D] = True
+
+    cf_host = _eng.build_code_ffts(sig, (chans[0],), n, window)
+    if plan:
+        cf_host = _eng._prep_fused_codes(cf_host, plan)
+        fused_bt = _eng._fused_bt(plan, window, blocks, Cp // nsat)
+    else:
+        fused_bt = 0
+    cf_host = np.tile(cf_host, (Cp, 1))
+    code_ffts = cplx.from_numpy(cf_host)
+    if plan:
+        code_ffts = (code_ffts[0].astype(jnp.bfloat16),
+                     code_ffts[1].astype(jnp.bfloat16))
+    x = cplx.from_numpy(x_int) if not isinstance(x_int, tuple) else x_int
+    metric, code_idx, dop_idx = grid_search_sharded(
+        x, code_ffts, jnp.asarray(fixed_p), jnp.asarray(valid2),
+        n=n, window=window, blocks=blocks,
+        peak_mean=(sig.acq_metric == "peak_mean"),
+        dop_chunk=dop_chunk, mesh=mesh, fused=plan, fused_bt=fused_bt,
+    )
+    metric = np.asarray(metric)
+    code_idx = np.asarray(code_idx)
+    if plan and plan[0] == "v1":
+        from gnss_dsp_tpu.ops import pallas_acquire as pa
+
+        code_idx = pa.perm_to_natural_index(code_idx, window)
+    dop_idx = np.asarray(dop_idx)
+    out = []
+    for i, chan in enumerate(chans):
+        code = (sig.code_length * float(code_idx[i]) / n) % sig.code_length
+        out.append(_eng.AcqResult(
+            prn=chan, doppler=float(dops_all[i][dop_idx[i] - i * D]),
+            metric=float(metric[i]), code_offset=code,
+        ))
+    return out
+
+
+def serial_search_sharded(sig, x, prn: int, doppler: float,
+                          parent_code_phase: float, fs: float, mesh,
+                          ms: int = 40, chan: int = 0, k_chunk: int = 25):
+    """Mesh twin of acquire.serial.serial_search: the K code-phase
+    hypotheses (75 for L2CL, 1000 for GLONASS P) shard over EVERY mesh
+    device (both axes flattened — hypotheses are embarrassingly
+    parallel and there is no cross-shard reduction; the host argmaxes
+    the gathered q).
+    """
+    from gnss_dsp_tpu.acquire import serial as _ser
+
+    ndev = mesh.shape["sat"] * mesh.shape["time"]
+    geom = _ser.hypothesis_geometry(sig, fs, ms, parent_code_phase)
+    K = sig.acq_serial
+    Kp = -(-K // (ndev * k_chunk)) * (ndev * k_chunk)
+    s_int = np.zeros((Kp, geom.blocks), np.int32)
+    s_frac = np.zeros((Kp, geom.blocks), np.float32)
+    s_int[:K] = geom.s_int
+    s_frac[:K] = geom.s_frac
+
+    xw = _ser.wipe_blocks(sig, x, doppler, fs, chan, geom)
+    code_tab = jnp.asarray(sig.code_table((prn,))[0].astype(np.int8))
+    incr = jnp.float32(geom.incr)
+
+    def local_fn(xw, code_tab, s_int, s_frac):
+        kl = s_int.shape[0]
+        si3 = s_int.reshape(kl // k_chunk, k_chunk, geom.blocks)
+        sf3 = s_frac.reshape(kl // k_chunk, k_chunk, geom.blocks)
+        return jax.lax.map(
+            lambda sc: _ser.hypothesis_q(xw, code_tab, sc[0], sc[1], incr,
+                                         n=geom.n, L=geom.L),
+            (si3, sf3),
+        ).reshape(kl)
+
+    shard = shard_map(
+        local_fn, mesh=mesh,
+        in_specs=((P(), P()), P(), P(("sat", "time"), None),
+                  P(("sat", "time"), None)),
+        out_specs=P(("sat", "time")),
+        check_rep=False,
+    )
+    q = np.asarray(shard(xw, code_tab, jnp.asarray(s_int),
+                         jnp.asarray(s_frac)))[:K]
+    k_best = int(np.argmax(q))
+    return _ser.SerialResult(
+        prn=prn, doppler=doppler, metric=float(q[k_best]), k=k_best,
+        code_offset=float((geom.stride * k_best + geom.phase0) % geom.L),
+    )
