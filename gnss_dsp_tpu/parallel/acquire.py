@@ -139,16 +139,41 @@ def grid_search_sharded(x, code_ffts, dopp_fixed, dopp_valid,
     return shard(x, code_ffts, dopp_fixed, dopp_valid)
 
 
+def _as_global(mesh, spec, a):
+    """Process-local numpy -> global array on `mesh` (every process holds
+    the full host copy; only its addressable shards are materialized)."""
+    from jax.sharding import NamedSharding
+
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, spec), np.asarray(a))
+
+
+def _gather(y):
+    """Global (possibly non-fully-addressable) array -> full numpy."""
+    if getattr(y, "is_fully_addressable", True):
+        return np.asarray(y)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(y, tiled=True))
+
+
 def acquire_signal_sharded(sig, x_int, prns, mesh, doppler_search=None,
                            ms: int = 80, chan: int = 0,
                            dop_chunk: int | None = None,
-                           engine: str = "auto"):
+                           engine: str = "auto", multihost: bool = False):
     """Mesh-parallel twin of acquire.engine.acquire_signal.
 
     Pads the PRN list to a multiple of the sat-axis size (results for the
     padding PRNs are dropped).  engine: "fused" (per-shard Pallas surface
     kernel), "xla", or "auto" (fused on accelerator backends — CPU meshes,
     e.g. the virtual-device tests, stay on the XLA path).
+
+    multihost=True runs the same program multi-controller (SPMD over
+    `jax.distributed`-initialized processes; mesh built over global
+    jax.devices()): every process computes identical host-side prep, the
+    device arrays are assembled from process-local data, and the sharded
+    outputs are allgathered so every process returns the same results.
+    Single-process meshes accept multihost=True too (same code path).
     Returns list[AcqResult] in PRN order.
     """
     doppler_search = doppler_search or sig.doppler_default
@@ -179,25 +204,44 @@ def acquire_signal_sharded(sig, x_int, prns, mesh, doppler_search=None,
                                   len(prns_pad) // nsat)
     else:
         fused_bt = 0
-    code_ffts = cplx.from_numpy(cf_host)
-    if plan:
-        code_ffts = (code_ffts[0].astype(jnp.bfloat16),
-                     code_ffts[1].astype(jnp.bfloat16))
-    x = cplx.from_numpy(x_int) if not isinstance(x_int, tuple) else x_int
+    if multihost:
+        cf_np = [np.ascontiguousarray(cf_host.real).astype(np.float32),
+                 np.ascontiguousarray(cf_host.imag).astype(np.float32)]
+        if plan:
+            import ml_dtypes
+
+            cf_np = [a.astype(ml_dtypes.bfloat16) for a in cf_np]
+        code_ffts = tuple(_as_global(mesh, P("sat", None), a) for a in cf_np)
+        if isinstance(x_int, tuple):
+            x_np = tuple(np.asarray(a) for a in x_int)
+        else:
+            x_np = (np.ascontiguousarray(np.real(x_int)).astype(np.float32),
+                    np.ascontiguousarray(np.imag(x_int)).astype(np.float32))
+        x = tuple(_as_global(mesh, P(), a) for a in x_np)
+        fixed_a = _as_global(mesh, P(), fixed_p)
+        valid_a = _as_global(mesh, P(), valid)
+    else:
+        code_ffts = cplx.from_numpy(cf_host)
+        if plan:
+            code_ffts = (code_ffts[0].astype(jnp.bfloat16),
+                         code_ffts[1].astype(jnp.bfloat16))
+        x = cplx.from_numpy(x_int) if not isinstance(x_int, tuple) else x_int
+        fixed_a = jnp.asarray(fixed_p)
+        valid_a = jnp.asarray(valid)
     metric, code_idx, dop_idx = grid_search_sharded(
-        x, code_ffts, jnp.asarray(fixed_p), jnp.asarray(valid),
+        x, code_ffts, fixed_a, valid_a,
         n=n, window=window, blocks=blocks,
         peak_mean=(sig.acq_metric == "peak_mean"),
         dop_chunk=dop_chunk, mesh=mesh,
         fused=plan, fused_bt=fused_bt,
     )
-    metric = np.asarray(metric)
-    code_idx = np.asarray(code_idx)
+    metric = _gather(metric)
+    code_idx = _gather(code_idx)
     if plan and plan[0] == "v1":
         from gnss_dsp_tpu.ops import pallas_acquire as pa
 
         code_idx = pa.perm_to_natural_index(code_idx, window)
-    dop_idx = np.asarray(dop_idx)
+    dop_idx = _gather(dop_idx)
     out = []
     for i, prn in enumerate(prns):
         code = (sig.code_length * float(code_idx[i]) / n) % sig.code_length

@@ -16,6 +16,23 @@ import jax
 from jax.sharding import Mesh
 
 
+def init_multihost(coordinator_address: str, num_processes: int,
+                   process_id: int, local_device_ids=None) -> None:
+    """Join this process to a multi-controller run (DCN story, SURVEY.md
+    §2.5): after this, jax.devices() is GLOBAL and make_mesh() builds a
+    cross-host mesh.  On TPU pods the arguments are usually inferred from
+    the environment (call with the coordinator only); the 2-process CPU
+    test drives it explicitly (tests/test_multihost.py)."""
+    import jax as _jax
+
+    _jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+
+
 def make_mesh(n_devices: int | None = None, time_shards: int | None = None,
               devices=None) -> Mesh:
     """Build a (sat, time) mesh over `n_devices` (default: all).
