@@ -82,3 +82,126 @@ def test_two_channel_batched_tracking():
         assert len(ch.rows) > 400
         cf = np.median([r["carrier_f"] for r in tail])
         assert abs(cf - dop) < 5.0
+
+
+# ---------------------------------------------------------------------------
+# Loop-filter / engine unit coverage (VERDICT round-1 "weak" item 6)
+
+def test_mode_schedule_edges():
+    """FLL_WIDE -> FLL_NARROW -> PLL at exactly the dwell boundaries
+    (track-gps-l1.py:155-158)."""
+    import jax.numpy as jnp
+    from gnss_dsp_tpu.track.driver import make_params
+    from gnss_dsp_tpu.track.engine import _mode_of
+
+    sig = get_signal("gps-l1")
+    p = make_params(sig, 4.096e6, coffset=0.0, loop_dwells=(500, 300))
+    for blk, want in ((0, 0), (499, 0), (500, 1), (799, 1), (800, 2),
+                      (10_000, 2)):
+        assert int(_mode_of(jnp.int32(blk), p)) == want, (blk, want)
+    # --carrier-phase / Xona: straight to PLL from block 0
+    p0 = make_params(sig, 4.096e6, coffset=0.0, pll_from_start=True)
+    assert int(_mode_of(jnp.int32(0), p0)) == 2
+
+
+def test_dll_zero_denominator_no_nan():
+    """All-zero samples (E = P = L = 0) must not NaN the DLL
+    (the reference would divide 0/0 at track-gps-l1.py:80)."""
+    import jax.numpy as jnp
+    from gnss_dsp_tpu.track.driver import make_params
+    from gnss_dsp_tpu.track.engine import init_state, track_scan
+
+    sig = get_signal("gps-l1")
+    fs = 2.048e6
+    params = make_params(sig, fs, coffset=0.0)
+    n = int(fs * 0.05)
+    x = (jnp.zeros(n, jnp.float32), jnp.zeros(n, jnp.float32))
+    st = init_state(code_p=[0.0], code_f_off=[0.0], carrier_p=[0.0],
+                    carrier_f=[1000.0])
+    tab = jnp.asarray(sig.code_table((1,)).astype(np.int8))
+    st2, rf, ri = track_scan(x, jnp.int32(n), tab, st, params, 20)
+    assert np.isfinite(np.asarray(rf)).all()
+    assert np.isfinite(np.asarray(st2.code_f_off)).all()
+
+
+def test_stall_refill_matches_uninterrupted():
+    """A channel that exhausts the chunk mid-scan freezes (stalled, no
+    rows) and, after the host refills, produces bit-identical rows to an
+    uninterrupted scan — the EOF/stall boundary the reference handles by
+    blocking reads (track-gps-l1.py:165-167)."""
+    import jax.numpy as jnp
+    from gnss_dsp_tpu.track.driver import make_params
+    from gnss_dsp_tpu.track.engine import init_state, track_scan
+
+    sig = get_signal("gps-l1")
+    fs = 2.048e6
+    params = make_params(sig, fs, coffset=0.0, loop_dwells=(10, 10))
+    x = synth.synth_iq(gps_ca.ca_code(7).astype(np.float64), sig.chip_rate,
+                       fs, int(fs * 0.08), doppler_hz=900.0, code_phase=5.0,
+                       cn0_dbhz=None, carrier_ratio=1540.0)
+    xd = (jnp.asarray(x.real.astype(np.float32)),
+          jnp.asarray(x.imag.astype(np.float32)))
+
+    def fresh():
+        return init_state(code_p=[5.0], code_f_off=[0.0], carrier_p=[0.0],
+                          carrier_f=[900.0])
+
+    tab = jnp.asarray(sig.code_table((7,)).astype(np.int8))
+    # uninterrupted: 60 blocks over the whole chunk
+    _, rf_a, ri_a = track_scan(xd, jnp.int32(len(x)), tab, fresh(),
+                               params, 60)
+    # interrupted: claim only 25 ms available -> ~24 blocks then stall
+    st, rf_1, ri_1 = track_scan(xd, jnp.int32(int(fs * 0.025)), tab,
+                                fresh(), params, 60)
+    n1 = int((np.asarray(ri_1)[:, 0, 0] > 0).sum())
+    assert 20 <= n1 < 30, n1
+    assert bool(np.asarray(st.stalled)[0])
+    # refill: full chunk visible again, scan the remaining blocks
+    st = st._replace(stalled=jnp.zeros_like(st.stalled))
+    _, rf_2, ri_2 = track_scan(xd, jnp.int32(len(x)), tab, st, params,
+                               60 - n1)
+    np.testing.assert_array_equal(np.asarray(rf_a[:n1]),
+                                  np.asarray(rf_1[:n1]))
+    np.testing.assert_array_equal(np.asarray(rf_a[n1:]), np.asarray(rf_2))
+    np.testing.assert_array_equal(np.asarray(ri_a[n1:]), np.asarray(ri_2))
+
+
+def test_checkpoint_mid_subblock_resume():
+    """Checkpoint taken MID code period of a sub-divided signal (E1B,
+    4 sub-blocks): resume is bit-exact including n_full/sub_j carry."""
+    import jax.numpy as jnp
+    from gnss_dsp_tpu.track.driver import make_params
+    from gnss_dsp_tpu.track.engine import init_state, track_scan
+    from gnss_dsp_tpu.track import checkpoint
+
+    sig = get_signal("galileo-e1b")
+    assert sig.sub_blocks == 4
+    fs = 4.096e6
+    params = make_params(sig, fs, coffset=0.0, loop_dwells=(20, 20))
+    x = synth.synth_iq(sig.code_table((24,))[0].astype(np.float64),
+                       sig.chip_rate, fs, int(fs * 0.30), doppler_hz=400.0,
+                       code_phase=50.0, cn0_dbhz=None, subcarrier="cboc",
+                       carrier_ratio=1540.0)
+    xd = (jnp.asarray(x.real.astype(np.float32)),
+          jnp.asarray(x.imag.astype(np.float32)))
+    tab = jnp.asarray(sig.code_table((24,)).astype(np.int8))
+
+    def fresh():
+        return init_state(code_p=[50.0], code_f_off=[0.0], carrier_p=[0.0],
+                          carrier_f=[400.0])
+
+    _, rf_a, ri_a = track_scan(xd, jnp.int32(len(x)), tab, fresh(),
+                               params, 48)
+    cut = 26                      # 26 % 4 == 2: mid-period
+    st1, rf_1, _ = track_scan(xd, jnp.int32(len(x)), tab, fresh(),
+                              params, cut)
+    assert int(np.asarray(st1.sub_j)[0]) == cut % 4
+    import os
+    path = os.path.join("/tmp", "mid_subblock_ckpt.npz")
+    checkpoint.save(path, st1)
+    st_l, _, _ = checkpoint.load(path)
+    _, rf_2, ri_2 = track_scan(xd, jnp.int32(len(x)), tab, st_l,
+                               params, 48 - cut)
+    np.testing.assert_array_equal(np.asarray(rf_a[:cut]), np.asarray(rf_1))
+    np.testing.assert_array_equal(np.asarray(rf_a[cut:]), np.asarray(rf_2))
+    np.testing.assert_array_equal(np.asarray(ri_a[cut:]), np.asarray(ri_2))
