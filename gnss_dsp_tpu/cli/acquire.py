@@ -58,6 +58,13 @@ def main(signal: str, argv=None) -> int:
                       help="Doppler search grid (default %default)")
     parser.add_option("--time", type="int", default=sig.acq_ms_default,
                       help="integration time in ms (default %default)")
+    parser.add_option("--coherent", type="int", default=0, metavar="M",
+                      help="extended-coherent mode: integrate M code "
+                      "periods coherently with the secondary overlay "
+                      "wiped off (M=-1: full overlay length); needs a "
+                      "correspondingly finer --doppler-search grid "
+                      "(framework extension — the reference never "
+                      "consumes its secondary codes)")
     options, args = parser.parse_args(argv)
     if len(args) != 3:
         parser.error("expected input_filename sample_rate carrier_offset")
@@ -79,6 +86,15 @@ def main(signal: str, argv=None) -> int:
         # doppler chunk of the shared m-sequence search)
         for r in acquire_signal_fdma(sig, xb, prns, doppler_search=dops,
                                      ms=ms):
+            print(_fmt_row(sig, r))
+        return 0
+
+    if options.coherent:
+        from gnss_dsp_tpu.acquire.coherent import acquire_signal_coherent
+
+        m = None if options.coherent < 0 else options.coherent
+        for r in acquire_signal_coherent(sig, xb, prns, dops, m_coh=m,
+                                         ms=ms):
             print(_fmt_row(sig, r))
         return 0
 
