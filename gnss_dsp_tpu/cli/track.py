@@ -54,6 +54,19 @@ def main(signal: str, argv=None) -> int:
                            "(default %default, track-beidou-b2bi.py:47)")
     parser.add_option("--recover-file", default="track-chips.dat",
                       help="recovered-bins output path (default %default)")
+    parser.add_option("--chunk-ms", type="float", default=2000.0,
+                      help="device chunk length in ms (default %default; "
+                           "also the checkpoint cadence)")
+    parser.add_option("--checkpoint", metavar="FILE", default=None,
+                      help="save resumable loop state to FILE after every "
+                           "device chunk (atomic; framework extension — the "
+                           "reference can only re-seed argv manually, "
+                           "track-gps-l1.py:121,133-135)")
+    parser.add_option("--resume", metavar="FILE", default=None,
+                      help="resume from a --checkpoint file (input must be "
+                           "a seekable file, not a pipe); continues "
+                           "bit-exactly and re-emits from the checkpointed "
+                           "block")
     options, args = parser.parse_args(argv)
     dwells = tuple(int(v) for v in options.loop_dwells.split(","))
     carrier_phase = (float(options.carrier_phase)
@@ -94,9 +107,14 @@ def main(signal: str, argv=None) -> int:
     else:
         recover_after = options.recover_warmup if sig.recover_default else -1
 
+    if options.resume and filename == "-":
+        parser.error("--resume needs a seekable input file, not stdin")
     track_file(sig, fp, fs, coffset, channels, loop_dwells=dwells,
+               chunk_ms=options.chunk_ms,
                max_blocks=options.blocks or None, emit=emit,
-               recover_after=recover_after)
+               recover_after=recover_after,
+               checkpoint_path=options.checkpoint,
+               resume_from=options.resume)
     if recover_after >= 0:
         # reference dumps the raw complex bins, one "%f %f" row per chip
         # (track-beidou-b2bi.py:181-184)

@@ -164,7 +164,9 @@ def make_params(sig, fs: float, coffset: float, loop_dwells=(500, 500),
 def track_file(sig, fp, fs: float, coffset: float, channels,
                loop_dwells=(500, 500), chunk_ms: float = 2000.0,
                max_blocks: int | None = None, emit=None,
-               recover_after: int | None = None):
+               recover_after: int | None = None,
+               checkpoint_path: str | None = None,
+               resume_from: str | None = None):
     """Track `channels` (list[TrackChannel]) through the stream `fp`.
 
     emit(channel_index, row_dict) is called once per completed block, in
@@ -175,6 +177,13 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
     blocks (None = signal default: 200 for B2b, off otherwise —
     track-beidou-b2bi.py:47-53); recovered complex bins land on each
     channel's .recovered.
+
+    checkpoint_path: save the full loop state + host counters after
+    every device chunk (atomic rename); resume_from: restart from such
+    a file — `fp` must be seekable (the file is repositioned to the
+    checkpoint's stream offset) and the run continues bit-exactly
+    (failure/elastic flow, SURVEY.md §5; fault-injection test
+    tests/test_checkpoint.py::test_cli_kill_resume_bitexact).
     """
     L = sig.code_length
     chips_per_sample = sig.chip_rate / fs
@@ -187,21 +196,36 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
     # --- alignment to the first code boundary (:141-143), per channel:
     # the reference discards n0 samples; with a shared stream we keep them
     # and start each channel's pointer at its own n0.
-    ptr0 = np.zeros(len(channels), np.int32)
-    code_p0 = np.zeros(len(channels), np.float64)
-    for k, ch in enumerate(channels):
-        n0 = int(fs * 0.001 * sig.code_period_ms * (L - ch.code_offset) / L)
-        ptr0[k] = n0
-        code_p0[k] = ch.code_offset + n0 * chips_per_sample
+    abs_buf0 = 0          # absolute sample index of buf[0] in the stream
+    resumed_blocks = 0
+    if resume_from is not None:
+        from gnss_dsp_tpu.track import checkpoint as _ckpt
 
-    state = init_state(
-        code_p=code_p0,
-        code_f_off=np.zeros(len(channels)),
-        carrier_p=np.array([c.carrier_phase for c in channels]),
-        carrier_f=np.array([c.doppler for c in channels]),
-        ptr=ptr0,
-        recover_bins=L if recover_after >= 0 else 1,
-    )
+        state, host, meta = _ckpt.load(resume_from)
+        abs_buf0 = int(meta["abs_buf0"])
+        resumed_blocks = int(meta["total_blocks"])
+        fp.seek(2 * abs_buf0)
+        for k, ch in enumerate(channels):
+            ch.samp = int(host["samp"][k])
+            ch.code_cyc = int(host["code_cyc"][k])
+            ch.carrier_cyc = int(host["carrier_cyc"][k])
+    else:
+        ptr0 = np.zeros(len(channels), np.int32)
+        code_p0 = np.zeros(len(channels), np.float64)
+        for k, ch in enumerate(channels):
+            n0 = int(fs * 0.001 * sig.code_period_ms
+                     * (L - ch.code_offset) / L)
+            ptr0[k] = n0
+            code_p0[k] = ch.code_offset + n0 * chips_per_sample
+
+        state = init_state(
+            code_p=code_p0,
+            code_f_off=np.zeros(len(channels)),
+            carrier_p=np.array([c.carrier_phase for c in channels]),
+            carrier_f=np.array([c.doppler for c in channels]),
+            ptr=ptr0,
+            recover_bins=L if recover_after >= 0 else 1,
+        )
     code_np = sig.code_table(tuple(c.prn for c in channels)).astype(np.int8)
     code_tab = jnp.asarray(code_np)
     ratios = jnp.asarray(
@@ -225,7 +249,7 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
     blocks_per_scan = int(chunk_ms / sub_ms) + 2
 
     buf = np.zeros(0, np.complex64)
-    total_blocks = 0
+    total_blocks = resumed_blocks
     reader = _PrefetchReader(fp, chunk_samples + pad_extra)
     while True:
         # refill device chunk (the next file read was already started on
@@ -294,6 +318,21 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
         consumed = int(ptrs.min())
         buf = buf[consumed:]
         state = state._replace(ptr=jnp.asarray(ptrs - consumed, jnp.int32))
+        abs_buf0 += consumed
+
+        if checkpoint_path is not None:
+            # atomic per-chunk checkpoint: state ptrs are relative to
+            # buf[0] = stream sample abs_buf0, so resume only needs a
+            # seek — no buffered samples are serialized
+            from gnss_dsp_tpu.track import checkpoint as _ckpt
+            import os as _os
+
+            tmp = checkpoint_path + ".tmp"
+            with open(tmp, "wb") as f:
+                _ckpt.save(f, state, channels,
+                           meta={"abs_buf0": abs_buf0,
+                                 "total_blocks": total_blocks})
+            _os.replace(tmp, checkpoint_path)
 
         if reader.done and not emitted_any:
             break

@@ -112,3 +112,69 @@ def test_code_recovery():
     got = rec.chips()
     assert np.array_equal(got, code), (got[:20], code[:20])
     assert rec.confidence() > 1.0
+
+
+def test_cli_kill_resume_bitexact(tmp_path):
+    """Fault injection through the REAL CLI: SIGKILL the tracker mid-run,
+    resume from its --checkpoint file, and the combined output equals an
+    uninterrupted run row-for-row (failure/elastic flow, SURVEY §5)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    sig = get_signal("gps-l1")
+    fs = 2.048e6
+    prn, dop, cp0 = 21, 1200.0, 300.0
+    x = synth_iq(sig.code_table((prn,))[0], sig.chip_rate, fs,
+                 int(fs * 0.4), doppler_hz=dop, code_phase=cp0,
+                 cn0_dbhz=None, carrier_ratio=1540.0)
+    path = os.path.join(tmp_path, "kill.iq")
+    with open(path, "wb") as f:
+        f.write(to_int8_iq(x, scale=24.0))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "scripts", "track-gps-l1.py")
+    ck = os.path.join(tmp_path, "ck.npz")
+    env = dict(os.environ, GNSS_DSP_CPU="1")
+    base = [sys.executable, "-u", script, "--loop-dwells", "50,50",
+            "--chunk-ms", "100", path, "%d" % fs, "0",
+            str(prn), str(dop), str(cp0)]
+
+    # uninterrupted reference run
+    a = subprocess.run(base, capture_output=True, text=True, timeout=300,
+                       env=env)
+    assert a.returncode == 0, a.stderr[-2000:]
+    rows_a = a.stdout.strip().splitlines()
+    assert len(rows_a) > 300
+
+    # run with checkpoints, SIGKILL once a checkpoint exists mid-stream
+    p = subprocess.Popen(base[:3] + ["--checkpoint", ck] + base[3:],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True, env=env)
+    t0 = time.time()
+    while time.time() - t0 < 290:
+        if os.path.exists(ck) and os.path.getsize(ck) > 0:
+            break
+        if p.poll() is not None:
+            break
+        time.sleep(0.05)
+    killed = p.poll() is None
+    if killed:
+        os.kill(p.pid, signal.SIGKILL)   # exact PID we spawned
+    out_b, _ = p.communicate(timeout=60)
+    rows_b = out_b.strip().splitlines()
+    if rows_b and len(rows_b[-1].split()) != 14:
+        rows_b = rows_b[:-1]             # partial line cut by the kill
+    assert os.path.exists(ck)
+
+    # resume from the checkpoint
+    c = subprocess.run(base[:3] + ["--resume", ck] + base[3:],
+                       capture_output=True, text=True, timeout=300, env=env)
+    assert c.returncode == 0, c.stderr[-2000:]
+    rows_c = c.stdout.strip().splitlines()
+    assert rows_c, "resume emitted nothing"
+    resume_block = int(rows_c[0].split()[0])
+    combined = [r for r in rows_b if int(r.split()[0]) < resume_block]
+    combined += rows_c
+    assert combined == rows_a, (
+        killed, resume_block, len(rows_b), len(rows_c), len(rows_a))
