@@ -41,6 +41,9 @@ def main(signal: str, argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from gnss_dsp_tpu.cli import enable_compilation_cache
+
+    enable_compilation_cache()
     sig = get_signal(signal)
     if sig.acq_serial:
         return _main_serial(sig, argv)

@@ -29,6 +29,9 @@ def main(signal: str, argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from gnss_dsp_tpu.cli import enable_compilation_cache
+
+    enable_compilation_cache()
     sig = get_signal(signal)
     fdma = bool(sig.fdma_hz)
     label = "chan" if fdma else "prn"
