@@ -82,6 +82,9 @@ class TrackChannel:
     code_offset: float
     carrier_phase: float = 0.0
     pll_from_start: bool = False   # --carrier-phase given (:135-137)
+    overlay_phase: int = 0         # secondary-overlay chip index of the
+                                   # first tracked code period (coherent
+                                   # tracking; from coherent acquisition)
     # host-side accumulators
     samp: int = 0
     code_cyc: int = 0
@@ -111,7 +114,8 @@ def _pallas_ok(sig, fs: float, n_channels: int = 1) -> bool:
 def make_params(sig, fs: float, coffset: float, loop_dwells=(500, 500),
                 pll_from_start: bool = False, chan: int = 0,
                 use_pallas: bool | None = None,
-                recover_after: int = -1) -> TrackParams:
+                recover_after: int = -1,
+                coherent_blocks: int = 1) -> TrackParams:
     period_ms = sig.code_period_ms
     sub = sig.sub_blocks
     nmax = int(fs * 0.001 * period_ms / sub * 1.5) + 4
@@ -158,6 +162,7 @@ def make_params(sig, fs: float, coffset: float, loop_dwells=(500, 500),
         pallas_stream=bool(use_pallas
                            and sig.code_length > _STREAM_CODE_CHIPS),
         recover_after=int(recover_after),
+        coh_blocks=int(coherent_blocks),
     )
 
 
@@ -166,7 +171,8 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
                max_blocks: int | None = None, emit=None,
                recover_after: int | None = None,
                checkpoint_path: str | None = None,
-               resume_from: str | None = None):
+               resume_from: str | None = None,
+               coherent_blocks: int = 1):
     """Track `channels` (list[TrackChannel]) through the stream `fp`.
 
     emit(channel_index, row_dict) is called once per completed block, in
@@ -189,9 +195,24 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
     chips_per_sample = sig.chip_rate / fs
     if recover_after is None:
         recover_after = 200 if sig.recover_default else -1
+    if coherent_blocks > 1:
+        # the M-period accumulator indexes overlay chips by whole code
+        # periods; sub-divided signals would need sub-aware indexing
+        assert sig.sub_blocks == 1, (sig.name, sig.sub_blocks)
     params = make_params(sig, fs, coffset, loop_dwells,
                          pll_from_start=all(c.pll_from_start for c in channels),
-                         recover_after=recover_after)
+                         recover_after=recover_after,
+                         coherent_blocks=coherent_blocks)
+    overlay = None
+    if coherent_blocks > 1:
+        rows = []
+        for ch in channels:
+            sec = (sig.secondary(ch.prn) if sig.secondary is not None
+                   else np.ones(1, np.int8))
+            # block b uses chip (overlay_phase + b) mod N
+            rows.append(np.roll(np.asarray(sec, np.float32),
+                                -int(ch.overlay_phase)))
+        overlay = jnp.asarray(np.stack(rows))
 
     # --- alignment to the first code boundary (:141-143), per channel:
     # the reference discards n0 samples; with a shared stream we keep them
@@ -280,7 +301,7 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
         state = state._replace(stalled=jnp.zeros_like(state.stalled))
         state, rows_f, rows_i = track_scan(
             x_dev, jnp.int32(len(buf)), code_tab, state, params, nb,
-            ratios=ratios, code_rows_ext=code_rows_ext,
+            ratios=ratios, code_rows_ext=code_rows_ext, overlay=overlay,
         )
         rows_f = np.asarray(rows_f)
         rows_i = np.asarray(rows_i)

@@ -83,6 +83,13 @@ class TrackParams(NamedTuple):
                                # samples into per-chip bins once
                                # block > recover_after; -1 = off
                                # (track-beidou-b2bi.py:47-53)
+    coh_blocks: int = 1        # extended-coherent tracking: accumulate
+                               # overlay-wiped complex E/P/L over M code
+                               # periods; loop filters update at the M
+                               # boundary only (framework extension — the
+                               # carrier NCO is phase-continuous across
+                               # blocks, so the sum is truly coherent;
+                               # sub == 1 signals only)
 
 
 # TMBOC(6,1,4/33) slot pattern: BOC(6,1) in chips 0,4,6,29 of each 33
@@ -114,6 +121,8 @@ class TrackState(NamedTuple):
     sub_j: jnp.ndarray         # int32 sub-block index within the period
     acc_re: jnp.ndarray        # f32 [*, bins] code-recovery accumulator
     acc_im: jnp.ndarray        # ... ([*, 1] dummies when recovery is off)
+    cacc: jnp.ndarray          # f32 [*, 6] coherent E/P/L accumulator
+                               # (re, im x E/P/L; zeros when coh_blocks=1)
 
 
 def init_state(code_p, code_f_off, carrier_p, carrier_f, ptr=0,
@@ -148,6 +157,7 @@ def init_state(code_p, code_f_off, carrier_p, carrier_f, ptr=0,
         sub_j=as1(zeros, np.int32),
         acc_re=jnp.zeros((c, int(recover_bins)), jnp.float32),
         acc_im=jnp.zeros((c, int(recover_bins)), jnp.float32),
+        cacc=jnp.zeros((c, 6), jnp.float32),
     )
 
 
@@ -159,7 +169,7 @@ def _mode_of(block, p: TrackParams):
 
 
 def _track_block(x_chunk, chunk_len, code_tab, ratio, st: TrackState,
-                 p: TrackParams):
+                 p: TrackParams, s_ovl=jnp.float32(1.0)):
     """One tracking sub-block for one channel.  `ratio` is the per-channel
     carrier-aiding divisor (GLONASS FDMA channels each get their own,
     track-glonass-l1.py:38-40).  Returns (new_state, row_f [11], row_i [3])."""
@@ -257,7 +267,8 @@ def _track_block(x_chunk, chunk_len, code_tab, ratio, st: TrackState,
 
     n_full_new = st.n_full if p.sub == 1 else n_full
     new, row_f, row_i = _post_block(p_early, p_prompt, p_late, n, sub_j_next,
-                                    n_full_new, ok, cf_dyn, st, p)
+                                    n_full_new, ok, cf_dyn, st, p,
+                                    s_ovl=s_ovl)
 
     if p.recover_after >= 0:
         # unknown-code recovery (track-beidou-b2bi.py:47-53): once
@@ -275,11 +286,39 @@ def _track_block(x_chunk, chunk_len, code_tab, ratio, st: TrackState,
 
 
 def _post_block(p_early, p_prompt, p_late, n, sub_j_next, n_full_new, ok,
-                cf_dyn, st: TrackState, p: TrackParams):
+                cf_dyn, st: TrackState, p: TrackParams,
+                s_ovl=jnp.float32(1.0)):
     """Loop-filter updates + bookkeeping after the three correlations
-    (track-gps-l1.py:50-92) — shared by the XLA and Pallas paths."""
+    (track-gps-l1.py:50-92) — shared by the XLA and Pallas paths.
+
+    s_ovl: this code period's secondary-overlay chip (+-1; 1 when
+    overlay tracking is off).  With p.coh_blocks = M > 1 the overlay-
+    wiped complex E/P/L accumulate in st.cacc and the loop filters see
+    the M-period coherent sums, updating only at period M boundaries —
+    the carrier NCO phase is continuous across blocks (:38-42), so the
+    cross-block sum is truly coherent."""
     L = float(p.code_length)
     fs = p.fs
+
+    coh = p.coh_blocks > 1
+    if coh:
+        # per-block wiped correlators feed the output row; the loop
+        # filters see the accumulated sums at the boundary
+        p_early = (s_ovl * p_early[0], s_ovl * p_early[1])
+        p_prompt = (s_ovl * p_prompt[0], s_ovl * p_prompt[1])
+        p_late = (s_ovl * p_late[0], s_ovl * p_late[1])
+        acc = st.cacc + jnp.stack([
+            p_early[0], p_early[1], p_prompt[0], p_prompt[1],
+            p_late[0], p_late[1]])
+        u = ((st.block + 1) % p.coh_blocks) == 0
+        cacc_new = jnp.where(u, 0.0, acc)
+        f_early = (acc[0], acc[1])
+        f_prompt = (acc[2], acc[3])
+        f_late = (acc[4], acc[5])
+    else:
+        u = True
+        cacc_new = st.cacc
+        f_early, f_prompt, f_late = p_early, p_prompt, p_late
 
     # --- carrier phase bookkeeping (:38-42); dcyc counts whole cycles
     carrier_p_new = st.carrier_p - n.astype(jnp.float32) * st.carrier_f / fs
@@ -290,8 +329,8 @@ def _post_block(p_early, p_prompt, p_late, n, sub_j_next, n_full_new, ok,
 
     # --- carrier loop (:50-70); prompt1 only refreshed in FLL modes
     mode = _mode_of(st.block, p)
-    e_fll = disc.fll_atan(p_prompt, (st.prompt1_re, st.prompt1_im))
-    e_pll = disc.pll_costas(p_prompt)
+    e_fll = disc.fll_atan(f_prompt, (st.prompt1_re, st.prompt1_im))
+    e_pll = disc.pll_costas(f_prompt)
     fll_k = jnp.where(mode == 0, p.fll_wide_k, p.fll_narrow_k)
     carrier_f_new = jnp.where(
         mode == 2,
@@ -299,16 +338,28 @@ def _post_block(p_early, p_prompt, p_late, n, sub_j_next, n_full_new, ok,
         st.carrier_f + fll_k * e_fll,
     )
     carrier_e1_new = jnp.where(mode == 2, e_pll, st.carrier_e1)
-    prompt1_re_new = jnp.where(mode == 2, st.prompt1_re, p_prompt[0])
-    prompt1_im_new = jnp.where(mode == 2, st.prompt1_im, p_prompt[1])
+    prompt1_re_new = jnp.where(mode == 2, st.prompt1_re, f_prompt[0])
+    prompt1_im_new = jnp.where(mode == 2, st.prompt1_im, f_prompt[1])
 
     # --- code loop: normalized-envelope EML DLL (:74-86)
     early = jnp.sqrt(p_early[0] ** 2 + p_early[1] ** 2)
     prompt = jnp.sqrt(p_prompt[0] ** 2 + p_prompt[1] ** 2)
     late = jnp.sqrt(p_late[0] ** 2 + p_late[1] ** 2)
-    denom = late + early
-    e_dll = jnp.where(denom == 0, 0.0, (late - early) / jnp.where(denom == 0, 1.0, denom))
+    f_e = jnp.sqrt(f_early[0] ** 2 + f_early[1] ** 2)
+    f_l = jnp.sqrt(f_late[0] ** 2 + f_late[1] ** 2)
+    denom = f_l + f_e
+    e_dll = jnp.where(denom == 0, 0.0,
+                      (f_l - f_e) / jnp.where(denom == 0, 1.0, denom))
     code_f_off_new = st.code_f_off + p.dll_k1 * e_dll + p.dll_k2 * (e_dll - st.code_e1)
+
+    if coh:
+        # loop filters advance only at the M-period boundary
+        carrier_f_new = jnp.where(u, carrier_f_new, st.carrier_f)
+        carrier_e1_new = jnp.where(u, carrier_e1_new, st.carrier_e1)
+        prompt1_re_new = jnp.where(u, prompt1_re_new, st.prompt1_re)
+        prompt1_im_new = jnp.where(u, prompt1_im_new, st.prompt1_im)
+        code_f_off_new = jnp.where(u, code_f_off_new, st.code_f_off)
+        e_dll = jnp.where(u, e_dll, st.code_e1)
 
     # --- code phase advance (:88-92) in two-float so per-block f32 rounding
     # of n*cf (~1e-4 chips) cannot accumulate into a phase bias; dcyc counts
@@ -339,6 +390,7 @@ def _post_block(p_early, p_prompt, p_late, n, sub_j_next, n_full_new, ok,
         sub_j=sub_j_next,
         acc_re=st.acc_re,          # recovery bins updated by the caller
         acc_im=st.acc_im,          # (gated on ok there)
+        cacc=cacc_new,
     )
     # freeze the channel if the chunk ran dry (host refills and resumes)
     new = jax.tree.map(lambda a, b: jnp.where(ok, a, b), new, st)
@@ -358,7 +410,7 @@ def _post_block(p_early, p_prompt, p_late, n, sub_j_next, n_full_new, ok,
 
 
 def _step_pallas(x2, chunk_len, code_rows_ext, ratios,
-                 st: TrackState, p: TrackParams):
+                 st: TrackState, p: TrackParams, s_ovl=None):
     """One scan step for ALL channels through the fused Pallas correlator
     (ops/pallas_track): vectorized geometry/scalars, one kernel call, and
     the shared _post_block vmapped over channels.  x2 is the chunk pair
@@ -436,18 +488,20 @@ def _step_pallas(x2, chunk_len, code_rows_ext, ratios,
     p_prompt = (sums[:, 2], sums[:, 3])
     p_late = (sums[:, 4], sums[:, 5])
 
+    if s_ovl is None:
+        s_ovl = jnp.ones_like(cf_dyn)
     return jax.vmap(
-        lambda pe0, pe1, pp0, pp1, pl0, pl1, nn, sj, nf, okk, cfd, s:
+        lambda pe0, pe1, pp0, pp1, pl0, pl1, nn, sj, nf, okk, cfd, s, so:
         _post_block((pe0, pe1), (pp0, pp1), (pl0, pl1), nn, sj, nf, okk,
-                    cfd, s, p)
+                    cfd, s, p, s_ovl=so)
     )(p_early[0], p_early[1], p_prompt[0], p_prompt[1], p_late[0], p_late[1],
-      n, sub_j_next, n_full_new, ok, cf_dyn, st)
+      n, sub_j_next, n_full_new, ok, cf_dyn, st, s_ovl)
 
 
 @partial(jax.jit, static_argnames=("params", "n_blocks"))
 def track_scan(x_chunk, chunk_len, code_tab, state: TrackState,
                params: TrackParams, n_blocks: int, ratios=None,
-               code_rows_ext=None):
+               code_rows_ext=None, overlay=None):
     """Run up to n_blocks tracking sub-blocks for C channels over one
     device chunk.  x_chunk: split-complex pair; code_tab: int8 [C, L];
     state leaves are [C]-shaped; ratios: f32 [C] carrier-aiding divisors
@@ -468,14 +522,20 @@ def track_scan(x_chunk, chunk_len, code_tab, state: TrackState,
         x2 = (x_chunk[0].reshape(1, -1), x_chunk[1].reshape(1, -1))
 
     def step(st, _):
+        if params.coh_blocks > 1 and overlay is not None:
+            nov = overlay.shape[1]
+            s_ovl = jnp.take_along_axis(
+                overlay, (st.block % nov)[:, None], axis=1)[:, 0]
+        else:
+            s_ovl = jnp.ones(st.block.shape, jnp.float32)
         if use_pallas:
             new, row_f, row_i = _step_pallas(
-                x2, chunk_len, code_rows_ext, ratios, st, params)
+                x2, chunk_len, code_rows_ext, ratios, st, params, s_ovl)
         else:
             new, row_f, row_i = jax.vmap(
-                lambda s, ct, r: _track_block(x_chunk, chunk_len, ct, r,
-                                              s, params)
-            )(st, code_tab, ratios)
+                lambda s, ct, r, so: _track_block(x_chunk, chunk_len, ct, r,
+                                                  s, params, s_ovl=so)
+            )(st, code_tab, ratios, s_ovl)
         return new, (row_f, row_i)
 
     state, (rows_f, rows_i) = jax.lax.scan(step, state, None, length=n_blocks)

@@ -205,3 +205,45 @@ def test_checkpoint_mid_subblock_resume():
     np.testing.assert_array_equal(np.asarray(rf_a[:cut]), np.asarray(rf_1))
     np.testing.assert_array_equal(np.asarray(rf_a[cut:]), np.asarray(rf_2))
     np.testing.assert_array_equal(np.asarray(ri_a[cut:]), np.asarray(ri_2))
+
+
+def test_coherent_overlay_tracking():
+    """Extended-coherent tracking with secondary wipeoff (framework
+    extension; the carrier NCO is phase-continuous across blocks so the
+    M-period complex sum is coherent): at 30 dB-Hz the NH20-wiped 20 ms
+    integration tracks BeiDou B1I with ~4x less carrier jitter than the
+    per-period loops, and omitting the overlay (data flips uncompensated)
+    destroys the gain — proving the wipeoff is what's doing the work."""
+    import dataclasses
+
+    from gnss_dsp_tpu.track.driver import TrackChannel, track_file
+
+    sig = get_signal("beidou-b1i")
+    fs = 4.096e6
+    prn, dop, cp0, cn0 = 34, 800.0, 700.0, 30.0
+    sec = sig.secondary(prn)
+    x = synth.synth_iq(sig.code_table((prn,))[0].astype(np.float64),
+                       sig.chip_rate, fs, int(fs * 1.0), doppler_hz=dop,
+                       code_phase=cp0, cn0_dbhz=cn0,
+                       carrier_ratio=sig.track_carrier_ratio(0),
+                       data_bits=sec, rng=np.random.default_rng(7))
+    sigma = np.sqrt(fs / (2 * 10 ** (cn0 / 10)))
+    raw = synth.to_int8_iq(x, scale=100.0 / (4 * sigma))
+    sig_noovl = dataclasses.replace(sig, secondary=None)
+
+    def run(s, **kw):
+        ch = TrackChannel(prn=prn, doppler=dop, code_offset=cp0,
+                          pll_from_start=True, overlay_phase=1)
+        track_file(s, io.BytesIO(raw), fs, 0.0, [ch], **kw)
+        cf = np.array([r["carrier_f"] for r in ch.rows[-300:]])
+        return float(np.mean(cf)), float(np.std(cf))
+
+    m_std, s_std = run(sig)
+    m_coh, s_coh = run(sig, coherent_blocks=20)
+    m_bad, s_bad = run(sig_noovl, coherent_blocks=20)
+
+    assert abs(m_coh - dop) < 0.3, (m_coh, s_coh)
+    assert s_coh < 0.5 * s_std, (s_coh, s_std)
+    # without the wipeoff the overlay flips cancel the coherent sums
+    assert abs(m_bad - dop) > 3 * abs(m_coh - dop) or s_bad > 2 * s_coh, (
+        m_bad, s_bad, m_coh, s_coh)
