@@ -57,6 +57,16 @@ def main(signal: str, argv=None) -> int:
                            "(default %default, track-beidou-b2bi.py:47)")
     parser.add_option("--recover-file", default="track-chips.dat",
                       help="recovered-bins output path (default %default)")
+    parser.add_option("--coherent", type="int", default=1, metavar="M",
+                      help="extended-coherent tracking: accumulate "
+                           "secondary-wiped complex E/P/L over M code "
+                           "periods, loop updates at the M boundary "
+                           "(framework extension; sub-divided signals "
+                           "excluded)")
+    parser.add_option("--overlay-phase", type="int", default=0,
+                      help="secondary-overlay chip index of the first "
+                           "tracked code period (from coherent "
+                           "acquisition; default %default)")
     parser.add_option("--chunk-ms", type="float", default=2000.0,
                       help="device chunk length in ms (default %default; "
                            "also the checkpoint cadence)")
@@ -84,13 +94,15 @@ def main(signal: str, argv=None) -> int:
             p, d, co = spec.split(":")
             channels.append(TrackChannel(
                 prn=int(p), doppler=float(d), code_offset=float(co),
-                carrier_phase=carrier_phase, pll_from_start=pll))
+                carrier_phase=carrier_phase, pll_from_start=pll,
+                overlay_phase=options.overlay_phase))
     elif len(args) == 6:
         filename, fs, coffset = args[0], float(args[1]), float(args[2])
         channels = [TrackChannel(
             prn=int(args[3]), doppler=float(args[4]),
             code_offset=float(args[5]),
-            carrier_phase=carrier_phase, pll_from_start=pll)]
+            carrier_phase=carrier_phase, pll_from_start=pll,
+            overlay_phase=options.overlay_phase)]
     else:
         parser.error(f"expected file fs coffset {label} doppler code_offset"
                      f" (or file fs coffset prn:dop:code,prn:dop:code,...)")
@@ -117,7 +129,8 @@ def main(signal: str, argv=None) -> int:
                max_blocks=options.blocks or None, emit=emit,
                recover_after=recover_after,
                checkpoint_path=options.checkpoint,
-               resume_from=options.resume)
+               resume_from=options.resume,
+               coherent_blocks=options.coherent)
     if recover_after >= 0:
         # reference dumps the raw complex bins, one "%f %f" row per chip
         # (track-beidou-b2bi.py:181-184)
