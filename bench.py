@@ -51,7 +51,7 @@ def bench_tpu(sig, x, prns, dops_cfg, ms):
     blocks = ms
     dops, fixed = eng.doppler_grid(sig, dops_cfg)
     D = len(dops)
-    dop_chunk = 35
+    dop_chunk = 70
 
     # the production TPU path (acquire_signal engine="auto"): the fused
     # Pallas surface kernel with in-kernel peak/argmax/sum reduction;
