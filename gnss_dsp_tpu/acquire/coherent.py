@@ -25,6 +25,7 @@ caller passes the finer grid.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import partial
 
 import numpy as np
@@ -48,9 +49,10 @@ def grid_search_coherent(x, code_ffts, dopp_fixed, dopp_valid, sec,
     dopp_valid : bool [Dp]
     sec        : f32 [N] +-1 secondary chips (N >= m_coh; alignments = N)
     blocks % m_coh == 0; groups = blocks // m_coh.
-    Returns (metric [P], code_idx [P], dop_idx [P]) — metric is the raw
-    coherent peak (the peak/mean normalization is meaningless across
-    alignment maxima).
+    Returns (metric [P], code_idx [P], dop_idx [P], align [P]) —
+    metric is the raw coherent peak (the peak/mean normalization is
+    meaningless across alignment maxima); align is the winning cyclic
+    overlay alignment: block m correlated best with sec[(align+m) mod N].
     """
     P = code_ffts[0].shape[0]
     Dp = dopp_fixed.shape[0]
@@ -67,7 +69,7 @@ def grid_search_coherent(x, code_ffts, dopp_fixed, dopp_valid, sec,
     m_f = jnp.arange(m_coh, dtype=jnp.float32)
 
     def chunk_body(carry, ci):
-        best_metric, best_code, best_dop = carry
+        best_metric, best_code, best_dop, best_al = carry
         d0 = ci * dop_chunk
         df = jax.lax.dynamic_slice(dopp_fixed, (d0,), (dop_chunk,))
         valid = jax.lax.dynamic_slice(dopp_valid, (d0,), (dop_chunk,))
@@ -101,27 +103,32 @@ def grid_search_coherent(x, code_ffts, dopp_fixed, dopp_valid, sec,
                - jnp.einsum("adm,pdgmw->apdgw", wim, Rg[1]))
         cim = (jnp.einsum("adm,pdgmw->apdgw", wre, Rg[1])
                + jnp.einsum("adm,pdgmw->apdgw", wim, Rg[0]))
-        q = jnp.sqrt(cre * cre + cim * cim).sum(axis=3)       # [A, P, DC, W]
-        q = q.max(axis=0)                                     # [P, DC, W]
+        qa = jnp.sqrt(cre * cre + cim * cim).sum(axis=3)      # [A, P, DC, W]
+        a_idx = jnp.argmax(qa, axis=0).astype(jnp.int32)      # [P, DC, W]
+        q = qa.max(axis=0)                                    # [P, DC, W]
 
         peak = jnp.max(q, axis=-1)
         code_idx = jnp.argmax(q, axis=-1).astype(jnp.int32)
+        al = jnp.take_along_axis(a_idx, code_idx[:, :, None], 2)[:, :, 0]
         metric = jnp.where(valid[None, :], peak, -jnp.inf)
         ch_best = jnp.argmax(metric, axis=-1)
         ch_metric = jnp.take_along_axis(metric, ch_best[:, None], 1)[:, 0]
         ch_code = jnp.take_along_axis(code_idx, ch_best[:, None], 1)[:, 0]
+        ch_al = jnp.take_along_axis(al, ch_best[:, None], 1)[:, 0]
         upd = ch_metric > best_metric
         return (
             jnp.where(upd, ch_metric, best_metric),
             jnp.where(upd, ch_code, best_code),
             jnp.where(upd, (d0 + ch_best).astype(jnp.int32), best_dop),
+            jnp.where(upd, ch_al, best_al),
         ), None
 
     init = (jnp.full((P,), -jnp.inf, jnp.float32),
-            jnp.zeros((P,), jnp.int32), jnp.zeros((P,), jnp.int32))
-    (metric, code_idx, dop_idx), _ = jax.lax.scan(
+            jnp.zeros((P,), jnp.int32), jnp.zeros((P,), jnp.int32),
+            jnp.zeros((P,), jnp.int32))
+    (metric, code_idx, dop_idx, align), _ = jax.lax.scan(
         chunk_body, init, jnp.arange(n_chunks))
-    return metric, code_idx, dop_idx
+    return metric, code_idx, dop_idx, align
 
 
 def acquire_signal_coherent(sig, x_int, prns, doppler_search,
@@ -158,17 +165,41 @@ def acquire_signal_coherent(sig, x_int, prns, doppler_search,
 
     cf = cplx.from_numpy(_eng.build_code_ffts(sig, prns, n, window))
     x = cplx.from_numpy(x_int) if not isinstance(x_int, tuple) else x_int
-    metric, code_idx, dop_idx = grid_search_coherent(
+    metric, code_idx, dop_idx, align = grid_search_coherent(
         x, cf, jnp.asarray(fixed_p), jnp.asarray(valid), jnp.asarray(sec),
         n=n, window=window, blocks=blocks, m_coh=int(m_coh),
         dop_chunk=int(dop_chunk))
     metric = np.asarray(metric)
     code_idx = np.asarray(code_idx)
     dop_idx = np.asarray(dop_idx)
+    align = np.asarray(align)
     out = []
     for i, prn in enumerate(prns):
         code = (sig.code_length * float(code_idx[i]) / n) % sig.code_length
-        out.append(_eng.AcqResult(
+        out.append(CoherentAcqResult(
             prn=prn, doppler=float(dops[dop_idx[i]]),
-            metric=float(metric[i]), code_offset=code))
+            metric=float(metric[i]), code_offset=code,
+            align=int(align[i]), n_overlay=len(sec)))
     return out
+
+
+@dataclass
+class CoherentAcqResult(_eng.AcqResult):
+    """AcqResult + the winning overlay alignment: acquisition block m
+    correlated best with overlay chip (align + m) mod n_overlay."""
+    align: int = 0
+    n_overlay: int = 1
+
+    def track_overlay_phase(self, code_length: int) -> int:
+        """Overlay chip index of the FIRST code period the track driver
+        will process (TrackChannel.overlay_phase).  The driver discards
+        samples up to the first code boundary (track-gps-l1.py:141-143),
+        i.e. starts at capture period 1.  Acquisition block 0 is
+        DOMINATED by period 0 when the boundary falls in its second half
+        (code_offset <= L/2) — then align names period 0's chip and
+        period 1 carries align+1; otherwise block 0 is mostly period 1
+        and align already names it."""
+        a = self.align + (1 if self.code_offset <= code_length / 2 else 0)
+        return a % self.n_overlay
+
+

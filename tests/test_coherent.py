@@ -77,3 +77,44 @@ def test_coherent_no_secondary_plain():
                                 m_coh=10, ms=10)[0]
     assert abs(r.doppler - doppler) <= 30.0, r
     assert _err_chips(sig, r, cp0) < 1.0, r
+
+
+def test_acquire_to_track_overlay_handoff():
+    """Coherent acquisition returns the overlay alignment; mapped through
+    CoherentAcqResult.track_overlay_phase it seeds coherent tracking
+    directly — the full weak-signal workflow, no overlay knowledge needed
+    from the user."""
+    import io as _io
+
+    from gnss_dsp_tpu.acquire.coherent import acquire_signal_coherent
+    from gnss_dsp_tpu.track.driver import TrackChannel, track_file
+    from gnss_dsp_tpu.utils.synth import to_int8_iq
+
+    sig = dataclasses.replace(get_signal("beidou-b1i"), acq_fs=4.096e6)
+    prn, doppler, cp0, cn0 = 34, 20.0, 500.0, 30.0
+    fs = sig.acq_fs
+    sec = sig.secondary(prn)
+    true_roll = 7                      # capture starts mid-overlay
+    x = synth_iq(sig.code_table((prn,))[0], sig.chip_rate, fs,
+                 int(fs * 0.8), doppler_hz=doppler, code_phase=cp0,
+                 cn0_dbhz=cn0, carrier_ratio=sig.carrier_ratio,
+                 data_bits=np.roll(sec, -true_roll),
+                 rng=np.random.default_rng(2))
+
+    r = acquire_signal_coherent(sig, x, [prn], (-80.0, 81.0, 20.0),
+                                ms=40)[0]
+    assert _err_chips(sig, r, cp0) < 1.0, r
+    assert abs(r.doppler - doppler) <= 20.0, r
+    ovl = r.track_overlay_phase(sig.code_length)
+    # ground truth: period p carries chip (true_roll + p) mod 20; the
+    # tracker starts at period 1
+    assert ovl == (true_roll + 1) % 20, (ovl, r.align)
+
+    sigma = np.sqrt(fs / (2 * 10 ** (cn0 / 10)))
+    raw = to_int8_iq(x, scale=100.0 / (4 * sigma))
+    ch = TrackChannel(prn=prn, doppler=r.doppler, code_offset=r.code_offset,
+                      pll_from_start=True, overlay_phase=ovl)
+    track_file(sig, _io.BytesIO(raw), fs, 0.0, [ch], coherent_blocks=20)
+    cf = np.array([r_["carrier_f"] for r_ in ch.rows[-200:]])
+    assert abs(np.mean(cf) - doppler) < 1.0, np.mean(cf)
+    assert np.std(cf) < 1.0, np.std(cf)
