@@ -124,6 +124,9 @@ def main(signal: str, argv=None) -> int:
 
     if options.resume and filename == "-":
         parser.error("--resume needs a seekable input file, not stdin")
+    if options.coherent > 1 and sig.sub_blocks != 1:
+        parser.error(f"--coherent needs a whole-period signal; "
+                     f"{signal} tracks in {sig.sub_blocks} sub-blocks")
     track_file(sig, fp, fs, coffset, channels, loop_dwells=dwells,
                chunk_ms=options.chunk_ms,
                max_blocks=options.blocks or None, emit=emit,
