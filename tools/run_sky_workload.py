@@ -58,7 +58,7 @@ def sh(script, data, dest):
                + os.pathsep + os.environ["PATH"], GNSS_DSP_CPU="1")
     r = subprocess.run(["sh", os.path.join(REPO, script), data, dest],
                        env=env, capture_output=True, text=True,
-                       timeout=7200)
+                       timeout=21600)
     assert r.returncode == 0, (script, r.stderr[-3000:])
 
 
