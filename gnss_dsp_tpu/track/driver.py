@@ -253,6 +253,12 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
         np.array([sig.track_carrier_ratio(c.prn) for c in channels],
                  np.float32)
     )
+    # per-channel carrier-offset wipeoff: GLONASS FDMA channels sit
+    # fdma_hz*chan away from the channel-0 coffset the CLI passes
+    # (track-glonass-l1.py:161: fm = -(coffset+562500*chan)/fs)
+    coffset_df = jnp.asarray(np.array(
+        [nco.freq_to_fixed(-(coffset + (sig.fdma_hz or 0.0) * c.prn) / fs)
+         for c in channels], np.int32))
     code_rows_ext = None
     pad_extra = params.nmax
     if params.use_pallas:
@@ -302,6 +308,7 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
         state, rows_f, rows_i = track_scan(
             x_dev, jnp.int32(len(buf)), code_tab, state, params, nb,
             ratios=ratios, code_rows_ext=code_rows_ext, overlay=overlay,
+            coffset_df=coffset_df,
         )
         rows_f = np.asarray(rows_f)
         rows_i = np.asarray(rows_i)

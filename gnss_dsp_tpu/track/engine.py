@@ -169,10 +169,12 @@ def _mode_of(block, p: TrackParams):
 
 
 def _track_block(x_chunk, chunk_len, code_tab, ratio, st: TrackState,
-                 p: TrackParams, s_ovl=jnp.float32(1.0)):
+                 p: TrackParams, s_ovl=jnp.float32(1.0), coffset_df=None):
     """One tracking sub-block for one channel.  `ratio` is the per-channel
-    carrier-aiding divisor (GLONASS FDMA channels each get their own,
-    track-glonass-l1.py:38-40).  Returns (new_state, row_f [11], row_i [3])."""
+    carrier-aiding divisor and `coffset_df` the per-channel int32 DDS
+    increment for the carrier-offset wipeoff (GLONASS FDMA channels each
+    get their own: -(coffset + 562500*chan)/fs, track-glonass-l1.py:38-40,
+    161).  Returns (new_state, row_f [11], row_i [3])."""
     L = float(p.code_length)
     fs = p.fs
     samples_per_period = fs * 0.001 * p.code_period_ms
@@ -205,7 +207,9 @@ def _track_block(x_chunk, chunk_len, code_tab, ratio, st: TrackState,
     )
 
     # --- fused double LUT mix: offset NCO x carrier NCO == one LUT angle
-    ph1 = st.coffset_p + (i * jnp.int32(p.coffset_df_fixed)).astype(jnp.uint32)
+    if coffset_df is None:
+        coffset_df = jnp.int32(p.coffset_df_fixed)
+    ph1 = st.coffset_p + (i * coffset_df).astype(jnp.uint32)
     carr_df = nco.freq_to_fixed_jnp(-st.carrier_f / fs)
     carr_p0 = (jnp.mod(st.carrier_p, 1.0) * jnp.float32(2.0**32)).astype(jnp.uint32)
     ph2 = carr_p0 + (i * carr_df).astype(jnp.uint32)
@@ -268,7 +272,7 @@ def _track_block(x_chunk, chunk_len, code_tab, ratio, st: TrackState,
     n_full_new = st.n_full if p.sub == 1 else n_full
     new, row_f, row_i = _post_block(p_early, p_prompt, p_late, n, sub_j_next,
                                     n_full_new, ok, cf_dyn, st, p,
-                                    s_ovl=s_ovl)
+                                    s_ovl=s_ovl, coffset_df=coffset_df)
 
     if p.recover_after >= 0:
         # unknown-code recovery (track-beidou-b2bi.py:47-53): once
@@ -287,7 +291,7 @@ def _track_block(x_chunk, chunk_len, code_tab, ratio, st: TrackState,
 
 def _post_block(p_early, p_prompt, p_late, n, sub_j_next, n_full_new, ok,
                 cf_dyn, st: TrackState, p: TrackParams,
-                s_ovl=jnp.float32(1.0)):
+                s_ovl=jnp.float32(1.0), coffset_df=None):
     """Loop-filter updates + bookkeeping after the three correlations
     (track-gps-l1.py:50-92) — shared by the XLA and Pallas paths.
 
@@ -324,8 +328,9 @@ def _post_block(p_early, p_prompt, p_late, n, sub_j_next, n_full_new, ok,
     carrier_p_new = st.carrier_p - n.astype(jnp.float32) * st.carrier_f / fs
     t = jnp.mod(carrier_p_new, 1.0)
     carrier_dcyc = jnp.round(carrier_p_new - t).astype(jnp.int32)
-    coffset_p_new = st.coffset_p + (
-        n * jnp.int32(p.coffset_df_fixed)).astype(jnp.uint32)
+    if coffset_df is None:
+        coffset_df = jnp.int32(p.coffset_df_fixed)
+    coffset_p_new = st.coffset_p + (n * coffset_df).astype(jnp.uint32)
 
     # --- carrier loop (:50-70); prompt1 only refreshed in FLL modes
     mode = _mode_of(st.block, p)
@@ -410,7 +415,8 @@ def _post_block(p_early, p_prompt, p_late, n, sub_j_next, n_full_new, ok,
 
 
 def _step_pallas(x2, chunk_len, code_rows_ext, ratios,
-                 st: TrackState, p: TrackParams, s_ovl=None):
+                 st: TrackState, p: TrackParams, s_ovl=None,
+                 coffset_df=None):
     """One scan step for ALL channels through the fused Pallas correlator
     (ops/pallas_track): vectorized geometry/scalars, one kernel call, and
     the shared _post_block vmapped over channels.  x2 is the chunk pair
@@ -466,9 +472,11 @@ def _step_pallas(x2, chunk_len, code_rows_ext, ratios,
     # DMA.  Clamp to the last fully-addressable tile.
     ptr_k = jnp.clip(st.ptr, 0,
                      x2[0].shape[1] - (p.pallas_tiles + 1) * ptk.TILE)
+    if coffset_df is None:
+        coffset_df = jnp.full((C,), jnp.int32(p.coffset_df_fixed))
     si = jnp.stack([
         vint_e, vint_p, vint_l,
-        jnp.full((C,), jnp.int32(p.coffset_df_fixed)),
+        coffset_df,
         n,
         st.coffset_p.astype(jnp.int32),
         carr_df,
@@ -491,17 +499,17 @@ def _step_pallas(x2, chunk_len, code_rows_ext, ratios,
     if s_ovl is None:
         s_ovl = jnp.ones_like(cf_dyn)
     return jax.vmap(
-        lambda pe0, pe1, pp0, pp1, pl0, pl1, nn, sj, nf, okk, cfd, s, so:
+        lambda pe0, pe1, pp0, pp1, pl0, pl1, nn, sj, nf, okk, cfd, s, so, cdf:
         _post_block((pe0, pe1), (pp0, pp1), (pl0, pl1), nn, sj, nf, okk,
-                    cfd, s, p, s_ovl=so)
+                    cfd, s, p, s_ovl=so, coffset_df=cdf)
     )(p_early[0], p_early[1], p_prompt[0], p_prompt[1], p_late[0], p_late[1],
-      n, sub_j_next, n_full_new, ok, cf_dyn, st, s_ovl)
+      n, sub_j_next, n_full_new, ok, cf_dyn, st, s_ovl, coffset_df)
 
 
 @partial(jax.jit, static_argnames=("params", "n_blocks"))
 def track_scan(x_chunk, chunk_len, code_tab, state: TrackState,
                params: TrackParams, n_blocks: int, ratios=None,
-               code_rows_ext=None, overlay=None):
+               code_rows_ext=None, overlay=None, coffset_df=None):
     """Run up to n_blocks tracking sub-blocks for C channels over one
     device chunk.  x_chunk: split-complex pair; code_tab: int8 [C, L];
     state leaves are [C]-shaped; ratios: f32 [C] carrier-aiding divisors
@@ -516,6 +524,9 @@ def track_scan(x_chunk, chunk_len, code_tab, state: TrackState,
     if ratios is None:
         ratios = jnp.full(state.block.shape, params.carrier_ratio,
                           jnp.float32)
+    if coffset_df is None:
+        coffset_df = jnp.full(state.block.shape,
+                              jnp.int32(params.coffset_df_fixed))
     use_pallas = params.use_pallas and code_rows_ext is not None
     if use_pallas:
         # shape the chunk planes for the kernel ONCE, outside the scan
@@ -530,12 +541,14 @@ def track_scan(x_chunk, chunk_len, code_tab, state: TrackState,
             s_ovl = jnp.ones(st.block.shape, jnp.float32)
         if use_pallas:
             new, row_f, row_i = _step_pallas(
-                x2, chunk_len, code_rows_ext, ratios, st, params, s_ovl)
+                x2, chunk_len, code_rows_ext, ratios, st, params, s_ovl,
+                coffset_df)
         else:
             new, row_f, row_i = jax.vmap(
-                lambda s, ct, r, so: _track_block(x_chunk, chunk_len, ct, r,
-                                                  s, params, s_ovl=so)
-            )(st, code_tab, ratios, s_ovl)
+                lambda s, ct, r, so, cdf: _track_block(
+                    x_chunk, chunk_len, ct, r, s, params, s_ovl=so,
+                    coffset_df=cdf)
+            )(st, code_tab, ratios, s_ovl, coffset_df)
         return new, (row_f, row_i)
 
     state, (rows_f, rows_i) = jax.lax.scan(step, state, None, length=n_blocks)

@@ -167,6 +167,40 @@ def test_track_galileo_e1b_matches_reference(tmp_path):
     assert abs(np.mean(ref[-25:, 7]) / np.mean(ours[-25:, 7]) - 1) < 0.05
 
 
+def test_track_glonass_l1_matches_reference(tmp_path):
+    """FDMA tracking: the carrier wipeoff must include the channel's
+    562500*chan offset on top of the channel-0 coffset
+    (track-glonass-l1.py:161: fm = -(coffset+562500*chan)/fs).
+    Regression for the sky-capture GLONASS code-lock failure."""
+    from gnss_dsp_tpu.models import get_signal
+    from gnss_dsp_tpu.utils.synth import synth_iq, to_int8_iq
+
+    sig = get_signal("glonass-l1")
+    fs, coffset, chan = 8.192e6, 4000.0, -2
+    n = int(fs * 0.120)
+    x = synth_iq(sig.code_table((0,))[0], sig.chip_rate, fs, n,
+                 doppler_hz=-900.0 + 562500.0 * chan, code_phase=362.8,
+                 cn0_dbhz=50.0, carrier_ratio=sig.track_carrier_ratio(chan),
+                 code_doppler_hz=-900.0, rng=np.random.default_rng(17))
+    x = x * np.exp(2j * np.pi * coffset / fs * np.arange(n))
+    path = os.path.join(tmp_path, "glo_l1.iq")
+    with open(path, "wb") as f:
+        f.write(to_int8_iq(x, scale=18.0))
+    args = ["--loop-dwells", "40,30", path, "%d" % fs, "%d" % coffset,
+            "%d" % chan, "-900.0", "362.80"]
+    ref_rows = run_ref("track-glonass-l1.py", args)
+    our_rows = run_ours("track-glonass-l1.py", ["--blocks", "110"] + args)
+    nb = min(len(ref_rows), len(our_rows))
+    assert nb >= 100, (len(ref_rows), len(our_rows))
+    ref = np.array([[float(v) for v in r.split()] for r in ref_rows[:nb]])
+    ours = np.array([[float(v) for v in r.split()] for r in our_rows[:nb]])
+    assert abs(np.mean(ref[-25:, 3]) - np.mean(ours[-25:, 3])) < 2.0
+    assert abs(np.mean(ref[-25:, 7]) / np.mean(ours[-25:, 7]) - 1) < 0.05
+    # both code-locked: prompt beats max(E, L) on the converged tail
+    el = np.mean(np.maximum(ours[-25:, 6], ours[-25:, 8]))
+    assert np.mean(ours[-25:, 7]) > 1.2 * el
+
+
 def test_acquire_gps_l5i_matches_reference(tmp_path):
     """The 30.69 MHz upsampling front end + 2n-pad template
     (acquire-gps-l5i.py) against the reference on a 61.44 MHz capture."""
