@@ -26,9 +26,17 @@ def shard_channels(mesh, state: TrackState, code_tab):
 
 
 def track_scan_sharded(mesh, x_chunk, chunk_len, code_tab, state, params,
-                       n_blocks: int):
-    """Run track_scan with channel-sharded state.  x replicated."""
+                       n_blocks: int, ratios=None, coffset_df=None):
+    """Run track_scan with channel-sharded state.  x replicated; the
+    per-channel carrier-aiding ratios and FDMA carrier-offset increments
+    shard with the channels."""
     rep = NamedSharding(mesh, P())
+    chan = NamedSharding(mesh, P("sat"))
     x_chunk = jax.device_put(x_chunk, rep)
     state, code_tab = shard_channels(mesh, state, code_tab)
-    return track_scan(x_chunk, chunk_len, code_tab, state, params, n_blocks)
+    if ratios is not None:
+        ratios = jax.device_put(ratios, chan)
+    if coffset_df is not None:
+        coffset_df = jax.device_put(coffset_df, chan)
+    return track_scan(x_chunk, chunk_len, code_tab, state, params, n_blocks,
+                      ratios=ratios, coffset_df=coffset_df)

@@ -191,6 +191,33 @@ def test_track_glonass_fdma_ratio():
     assert abs(np.mean(cf) - 800.0) < 8.0
 
 
+def test_track_glonass_fdma_channel_offsets():
+    """Two FDMA channels at DIFFERENT chans in one batch: each channel's
+    carrier wipeoff must include its own 562500*chan on top of the shared
+    channel-0 coffset (track-glonass-l1.py:161).  Regression for the
+    round-2 sky-capture code-lock failure."""
+    from gnss_dsp_tpu.track.driver import TrackChannel, track_file
+    from gnss_dsp_tpu.utils.synth import to_int8_iq
+    import io as _io
+
+    sig = get_signal("glonass-l1")
+    fs, coffset = 8.192e6, 6000.0
+    t = np.arange(int(fs * 0.400))
+    x = (make_iq(sig, -3, fs, 400, 900.0, 150.0, cn0=55.0, chan=-3)
+         + make_iq(sig, 2, fs, 400, -700.0, 350.0, cn0=55.0, chan=2))
+    x = x * np.exp(2j * np.pi * coffset / fs * t)
+    fp = _io.BytesIO(to_int8_iq(x, scale=24.0))
+    chs = [TrackChannel(prn=-3, doppler=912.0, code_offset=150.0),
+           TrackChannel(prn=2, doppler=-688.0, code_offset=350.0)]
+    track_file(sig, fp, fs, coffset, chs, loop_dwells=(150, 100))
+    for ch, dop in zip(chs, (900.0, -700.0)):
+        cf = np.array([r["carrier_f"] for r in ch.rows[-30:]])
+        assert abs(np.mean(cf) - dop) < 8.0, (ch.prn, np.mean(cf))
+        pr = np.array([r["prompt"] for r in ch.rows[-30:]])
+        el = np.array([max(r["early"], r["late"]) for r in ch.rows[-30:]])
+        assert np.mean(pr) > np.mean(el), ch.prn
+
+
 @pytest.mark.slow
 def test_track_l2cl_long_code():
     """L2CL: 767250-chip code, 1.5 s period tracked in 1500 sub-blocks —
