@@ -287,7 +287,7 @@ def epl_correlate(si, sf, xr, xi, code_rows,
                               memory_space=pltpu.VMEM)
     scratch = [pltpu.VMEM((1, 128), jnp.float32)]
     if stream:
-        code_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        code_spec = pl.BlockSpec(memory_space=pl.ANY)
         code_arg = code_rows[:, None, :]
         scratch += [pltpu.VMEM((1, W2 + 256), jnp.float32),
                     pltpu.SemaphoreType.DMA]
