@@ -6,7 +6,11 @@ internal rate (n = 4096 code-phase bins) — the exact grid
 acquire-gps-l1.py searches over a process pool.
 
 Metric: search-cells/s, cells = PRNs x dopplers x code-phase bins x
-blocks.  vs_baseline = ratio to the reference algorithm measured live on
+blocks, measured in steady state: one dispatch scans 16 successive 80-ms
+epochs of the capture (each a full independent search on its own slice),
+so the tunnel's fixed per-dispatch RTT amortizes exactly as in a
+continuous receiver pipeline.  vs_baseline = ratio to the reference
+algorithm measured live on
 this host's CPU (single core, numpy FFT path — numba is not installed so
 the reference's own fallback shim would run this same numpy code; its
 acquisition hot loop is FFT-bound either way, SURVEY.md §3.1).
@@ -39,7 +43,11 @@ def synth_sky(sig, fs: float, n: int) -> np.ndarray:
     return x
 
 
-def bench_tpu(sig, x, prns, dops_cfg, ms):
+def bench_tpu(sig, x, prns, dops_cfg, ms, segments: int):
+    """Sustained streaming search: one dispatch scans `segments`
+    successive `ms`-block epochs of the capture (a continuous receiver's
+    steady state), each epoch a full independent PRN x doppler x
+    code-phase x block search on its own slice of x."""
     import jax as _jax
     import jax.numpy as jnp
 
@@ -63,30 +71,42 @@ def bench_tpu(sig, x, prns, dops_cfg, ms):
     xs = cplx.from_numpy(x)
     fixed_j = jnp.asarray(fixed)
     valid_j = jnp.ones(D, bool)
+    seg_len = blocks * n                 # (blocks-1)*n + window
 
-    def launch():
-        return eng.grid_search(
-            xs, code_ffts, fixed_j, valid_j, n=n, window=window,
-            blocks=blocks, peak_mean=True, dop_chunk=dop_chunk,
-            precision=_jax.lax.Precision.DEFAULT, fused=plan,
-            fused_bt=fused_bt,
-        )
+    @_jax.jit
+    def run_all(x0, x1, cf0, cf1, fj, vj):
+        def seg_body(_, s):
+            xseg = (
+                _jax.lax.dynamic_slice(x0, (s * seg_len,), (seg_len,)),
+                _jax.lax.dynamic_slice(x1, (s * seg_len,), (seg_len,)),
+            )
+            out = eng.grid_search(
+                xseg, (cf0, cf1), fj, vj, n=n, window=window,
+                blocks=blocks, peak_mean=True, dop_chunk=dop_chunk,
+                precision=_jax.lax.Precision.DEFAULT, fused=plan,
+                fused_bt=fused_bt,
+            )
+            return 0, out
+        _, (m, ci, di) = _jax.lax.scan(seg_body, 0, jnp.arange(segments))
+        # one stacked f32 result -> ONE host readback (the tunnel charges
+        # a flat ~30 ms RTT per transfer); ci < W and di < D are exact f32
+        return jnp.stack([m, ci.astype(jnp.float32),
+                          di.astype(jnp.float32)], axis=1)
 
-    out = tuple(np.asarray(o) for o in launch())   # compile + warmup
+    args = (xs[0], xs[1], code_ffts[0], code_ffts[1], fixed_j, valid_j)
+    out = np.asarray(run_all(*args))                    # compile + warmup
     # jax.block_until_ready is a no-op on the axon tunnel backend and a
-    # host readback costs a flat ~30 ms RTT regardless of size, so the
-    # honest per-search time is K in-order device executions with ONE
-    # readback at the end, amortized (best-of-3: the chip is shared).
-    K = 8
+    # host readback costs a flat ~30 ms RTT regardless of size, so each
+    # timed rep is one device dispatch covering `segments` epochs with
+    # ONE readback at the end, amortized (best-of-N: the chip is shared).
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
-        for _ in range(K):
-            o = launch()
-        out = tuple(np.asarray(v) for v in o)
-        best = min(best, (time.perf_counter() - t0) / K)
+        out = np.asarray(run_all(*args))
+        best = min(best, (time.perf_counter() - t0) / segments)
     cells = len(prns) * D * window * blocks
-    return cells / best, out, dops, n
+    return cells / best, (out[:, 0], out[:, 1].astype(np.int32),
+                          out[:, 2].astype(np.int32)), dops, n
 
 
 def bench_reference_numpy(sig, x, ms) -> float:
@@ -121,17 +141,19 @@ def main():
 
     sig = get_signal("gps-l1")
     ms = 80
+    segments = 16
     prns = tuple(range(1, 33))
     fs = sig.acq_fs
-    x = synth_sky(sig, fs, (ms + 1) * int(fs / 1000))
+    x = synth_sky(sig, fs, (segments * ms + 1) * int(fs / 1000))
 
     tpu_cells_s, (metric, code_idx, dop_idx), dops, n = bench_tpu(
-        sig, x, prns, (-7000.0, 7000.0, 200.0), ms
+        sig, x, prns, (-7000.0, 7000.0, 200.0), ms, segments
     )
-    # sanity: the planted PRNs must be the top metrics at the right cells
-    m = np.asarray(metric)
-    top = set(int(p) for p in np.argsort(m)[-3:] + 1)
-    assert top == {5, 12, 21}, (top, m.max())
+    # sanity: the planted PRNs must be the top metrics in EVERY epoch
+    m = np.asarray(metric)                      # [segments, P]
+    for s in range(segments):
+        top = set(int(p) for p in np.argsort(m[s])[-3:] + 1)
+        assert top == {5, 12, 21}, (s, top, m[s].max())
 
     ref_cells_s = bench_reference_numpy(sig, x, ms)
 
