@@ -69,7 +69,7 @@ def chunk_q(xb, code_ffts, w, precision, bf16: bool = False):
     P x DC x B rows — tall MXU matmuls instead of `blocks` small
     sequential ones (this is the whole cost of acquisition).
 
-    (A fully transpose-free permuted-order pipeline (ops/fft2) was
+    (A fully transpose-free permuted-order pipeline (since removed) was
     measured slower on v5e — XLA's axis(-2) dot_general reintroduces the
     copies — so the swapaxes four-step stays.)
     """
