@@ -187,10 +187,15 @@ def acquire_signal_sharded(sig, x_int, prns, mesh, doppler_search=None,
     prns_pad = list(prns) + [prns[0]] * ((-len(prns)) % nsat)
 
     if dop_chunk is None:
-        budget = 256 * 2**20 // max(
-            (len(prns_pad) // nsat) * window * 8, 1
-        )
-        dop_chunk = int(np.clip(budget, 1, len(dops)))
+        Pl = max(len(prns_pad) // nsat, 1)
+        if plan:
+            # fused: a chunk holds only [Pl, DC, W] surfaces (+psum twin)
+            per_dc = Pl * window * 16
+        else:
+            # XLA: chunk_q materializes [Pl, DC, B, W] IFFT temps (x ~4)
+            # per shard — same sizing as acquire_signal's heuristic
+            per_dc = Pl * blocks * window * 16
+        dop_chunk = int(np.clip(1.2e9 // per_dc, 1, len(dops)))
     Dp = -(-len(dops) // dop_chunk) * dop_chunk
     fixed_p = np.zeros(Dp, np.int32)
     fixed_p[: len(fixed)] = fixed
