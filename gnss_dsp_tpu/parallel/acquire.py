@@ -286,8 +286,14 @@ def acquire_signal_fdma_sharded(sig, x_int, chans, mesh, doppler_search=None,
     Cp = C + (-C) % nsat
 
     if dop_chunk is None:
-        budget = 256 * 2**20 // max((Cp // nsat) * window * 8, 1)
-        dop_chunk = int(np.clip(budget, 1, C * D))
+        Cl = max(Cp // nsat, 1)
+        if plan:
+            # fused: a chunk holds only [Cl, DC, W] surfaces (+psum twin)
+            per_dc = Cl * window * 16
+        else:
+            # XLA: chunk_q materializes [Cl, DC, B, W] IFFT temps (x ~4)
+            per_dc = Cl * blocks * window * 16
+        dop_chunk = int(np.clip(1.2e9 // per_dc, 1, C * D))
     Dp = -(-(C * D) // dop_chunk) * dop_chunk
     fixed_p = np.zeros(Dp, np.int32)
     fixed_p[: C * D] = np.concatenate(fixed_all).astype(np.int32)
