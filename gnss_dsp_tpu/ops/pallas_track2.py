@@ -1,0 +1,266 @@
+"""Fused wipeoff + E/P/L correlator, v2: factorized one-hot routing.
+
+Same contract as ops/pallas_track.epl_correlate (the tracking hot loop of
+the reference, gps/ca.py:120-128 + nco.py:30-38), BPSK-only (sub="none")
+fast path.  The v1 kernel's cost profile on-chip is ~1.1-1.5 us per
+(channel, 1024-sample tile), dominated by
+
+  * the [TILE, W2] prompt one-hot build (W2 = 512 lanes for GPS L1:
+    ~1500 VPU vreg-ops per tile), and
+  * a [16, TILE] @ [TILE, W2] matmul whose M=16 wastes 7/8 of the MXU.
+
+v2 restructures both:
+
+  * THREE row groups instead of seven.  For el_spacing < 1 chip (every
+    signal: 0.05/0.2/0.5), the early chip index is the prompt index
+    shifted by d in {-1, 0} and late by {0, +1} per sample, so
+
+       E = sum(m * cw[col_p])  +  sum(m * 1{d_e=-1} * (cw(-1) - cw)[col_p])
+       L = sum(m * cw[col_p])  +  sum(m * 1{d_l=+1} * (cw(+1) - cw)[col_p])
+
+    i.e. E/P/L all ride ONE shared prompt-indexed segment sum plus two
+    boundary-correction groups: 6 live operand rows, not 14.
+
+  * FACTORIZED one-hot.  The prompt chip offset col in [0, W2) splits as
+    col = 128*a' + b'.  The b' one-hot is only [TILE, 128] (4x smaller
+    build than [TILE, 512]), and the a' routing is folded into the
+    matmul's M operand: row r = 8*a' + g carries group-g samples masked
+    to a' == r>>3.  The operand is built by CONCATENATING the [8, TILE]
+    group-plane block A' times (vreg copies, no relayout) and applying
+    one compare — the expensive per-sample pipeline (DDS phases, LUT
+    trig, masks, boundary flags) runs once on [8, TILE].
+
+  * The code window cw[W2] (and its +-1-chip rolls) reshape to [A, 128]
+    2-D tiles, so the final contraction is a [R, 128] elementwise
+    multiply + six masked reductions.
+
+Boundary decisions (floor of the f32 fractional recurrence fr + i*cf)
+are computed with arithmetic identical to v1/the XLA engine, so peak
+positions and correlator sums agree to summation-order rounding
+(tests/test_pallas.py oracle).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gnss_dsp_tpu.ops.pallas_track import TILE, LEAD, chip_window, extend_code  # noqa: F401
+
+_LUT_SHIFT = np.uint32(22)
+_TWO_PI_OVER_NT = np.float32(2.0 * np.pi / 1024.0)
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def _kernel(si_ref, sf_ref, xr_ref, xi_ref, code_ref, out_ref, acc,
+            win_ref=None, dma_sem=None, *, grid_tiles, W, stream):
+    c = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc[0, :] = jnp.zeros((128,), jnp.float32)
+
+    vint_e = si_ref[c, 0]
+    vint_p = si_ref[c, 1]
+    vint_l = si_ref[c, 2]
+    dph_a = si_ref[c, 3]
+    nvalid = si_ref[c, 4]
+    ph0_a = si_ref[c, 5]
+    dph_b = si_ref[c, 6]
+    ph0_b = si_ref[c, 7]
+    ptr = si_ref[c, 8]
+    fr_e = sf_ref[c, 0]
+    fr_p = sf_ref[c, 1]
+    fr_l = sf_ref[c, 2]
+    cf = sf_ref[c, 3]
+
+    W2 = W + 128
+    A = W2 // 128
+    Ap = _next_pow2(A)
+    R = 8 * Ap
+
+    off = ptr - (ptr // TILE) * TILE
+    i0 = j * TILE - off
+
+    @pl.when(i0 < nvalid)
+    def _tile():
+        # ---- per-sample pipeline on the PACKED (8, 128) layout: 1024
+        # samples = ONE vreg per quantity, so the DDS phase ints and the
+        # two transcendentals cost 1/8th of the [8, TILE] form (the tile
+        # ablation showed cos+sin alone at ~0.25 us/gridstep there).
+        # Sample s = 128*u + v; reshape back to (1, TILE) is row-major.
+        up = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        vp = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        i_rel_p = i0 + up * 128 + vp
+
+        ph_a = (ph0_a + i_rel_p * dph_a).astype(jnp.uint32)
+        ph_b = (ph0_b + i_rel_p * dph_b).astype(jnp.uint32)
+        idx = (jax.lax.shift_right_logical(ph_a, _LUT_SHIFT).astype(jnp.int32)
+               + jax.lax.shift_right_logical(ph_b, _LUT_SHIFT).astype(jnp.int32)
+               ) & 1023
+        ang = idx.astype(jnp.float32) * _TWO_PI_OVER_NT
+        wc_p = jnp.cos(ang)
+        ws_p = jnp.sin(ang)
+        mask_p = ((i_rel_p >= 0).astype(jnp.float32)
+                  * (i_rel_p < nvalid).astype(jnp.float32))
+
+        i_f_p = i_rel_p.astype(jnp.float32)
+        rel_p_pk = jnp.floor(fr_p + i_f_p * cf).astype(jnp.int32)
+        rel_e_pk = jnp.floor(fr_e + i_f_p * cf).astype(jnp.int32)
+        rel_l_pk = jnp.floor(fr_l + i_f_p * cf).astype(jnp.int32)
+        d_e = (vint_e + rel_e_pk) - (vint_p + rel_p_pk)   # in {-1, 0}
+        d_l = (vint_l + rel_l_pk) - (vint_p + rel_p_pk)   # in {0, +1}
+
+        xr_p = xr_ref[0:1, :].reshape(8, 128)
+        xi_p = xi_ref[0:1, :].reshape(8, 128)
+        m_re_p = (xr_p * wc_p - xi_p * ws_p) * mask_p     # wiped sample, re
+        m_im_p = (xr_p * ws_p + xi_p * wc_p) * mask_p     # ... im
+        e1_p = (d_e < 0).astype(jnp.float32)
+        l1_p = (d_l > 0).astype(jnp.float32)
+
+        # back to lane-major (1, TILE) rows (cheap: 8 vregs each)
+        m_re = m_re_p.reshape(1, TILE)
+        m_im = m_im_p.reshape(1, TILE)
+        e1 = e1_p.reshape(1, TILE)
+        l1 = l1_p.reshape(1, TILE)
+
+        # ---- the 8 group planes p_re, p_im, e_re, e_im, l_re, l_im, 0, 0
+        g8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        par = (g8 & 1).astype(jnp.float32)          # 0 = re row, 1 = im row
+        q1 = jnp.logical_and(g8 >= 2, g8 < 4).astype(jnp.float32)   # early
+        q2 = jnp.logical_and(g8 >= 4, g8 < 6).astype(jnp.float32)   # late
+        q0 = (g8 < 2).astype(jnp.float32)                           # prompt
+        factor = q0 + q1 * e1 + q2 * l1
+        planes = ((m_re * (1.0 - par) + m_im * par) * factor
+                  ).astype(jnp.bfloat16)
+
+        # ---- prompt window base / alignment (identical arithmetic to v1)
+        i_start = jnp.maximum(i0, 0).astype(jnp.float32)
+        base = jnp.floor(fr_p + i_start * cf).astype(jnp.int32)
+        start = vint_p + base + 1 + LEAD
+        sa = (start // 128) * 128
+        delta = start - sa
+
+        ap = ((rel_p_pk - base + delta) >> 7).reshape(1, TILE)  # a' in [0, A)
+
+        # ---- operand: concat the 8-row block A' times; row r = 8a' + g
+        M = jnp.concatenate([planes] * Ap, axis=0)            # [R, TILE]
+        a_r = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) >> 3
+        M = M * (ap == a_r).astype(jnp.bfloat16)
+
+        # ---- b' one-hot [TILE, 128] (4x smaller than v1's [TILE, W2])
+        it = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0).reshape(TILE)
+        i_f1 = (i0 + it).astype(jnp.float32)
+        rel_p1 = jnp.floor(fr_p + i_f1 * cf).astype(jnp.int32)
+        col1 = rel_p1 - base + delta
+        b1 = col1 & 127
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
+        oh = (w_iota == b1[:, None]).astype(jnp.bfloat16)
+
+        seg = jnp.dot(M, oh, preferred_element_type=jnp.float32)  # [R, 128]
+
+        # ---- code windows; v1-identical reads/rolls, then [A', 128] tiles
+        if stream:
+            dma = pltpu.make_async_copy(
+                code_ref.at[c, :, pl.ds(pl.multiple_of(sa - 128, 128),
+                                        W2 + 256)],
+                win_ref, dma_sem)
+            dma.start()
+            dma.wait()
+            cwbig = win_ref[0:1, :]
+        else:
+            cwbig = code_ref[0, :, pl.ds(pl.multiple_of(sa - 128, 128),
+                                         W2 + 256)]
+        cw = cwbig[:, 128:128 + W2]
+        cwm = pltpu.roll(cwbig, shift=1, axis=1)[:, 128:128 + W2]
+        cwp = pltpu.roll(cwbig, shift=W2 + 255, axis=1)[:, 128:128 + W2]
+        cw2d = cw.reshape(A, 128)
+        ce2d = (cwm - cw).reshape(A, 128)
+        cl2d = (cwp - cw).reshape(A, 128)
+        if Ap != A:
+            z = jnp.zeros((Ap - A, 128), jnp.float32)
+            cw2d = jnp.concatenate([cw2d, z], axis=0)
+            ce2d = jnp.concatenate([ce2d, z], axis=0)
+            cl2d = jnp.concatenate([cl2d, z], axis=0)
+        zA = jnp.zeros((Ap, 128), jnp.float32)
+        csel = jnp.stack([cw2d, cw2d, ce2d, ce2d, cl2d, cl2d, zA, zA],
+                         axis=1).reshape(R, 128)
+
+        prod = seg * csel                              # [R, 128]
+        gR = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) & 7
+        s = [jnp.sum(prod * (gR == g).astype(jnp.float32)) for g in range(6)]
+        p_re, p_im = s[0], s[1]
+        e_re, e_im = p_re + s[2], p_im + s[3]
+        l_re, l_im = p_re + s[4], p_im + s[5]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        contrib = (jnp.where(lane == 0, e_re, 0.0)
+                   + jnp.where(lane == 1, e_im, 0.0)
+                   + jnp.where(lane == 2, p_re, 0.0)
+                   + jnp.where(lane == 3, p_im, 0.0)
+                   + jnp.where(lane == 4, l_re, 0.0)
+                   + jnp.where(lane == 5, l_im, 0.0))
+        acc[0, :] = acc[0, :] + contrib[0, :]
+
+    @pl.when(j == grid_tiles - 1)
+    def _():
+        out_ref[0, 0, :] = acc[0, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_tiles", "W", "sub", "stream", "interpret"),
+)
+def epl_correlate2(si, sf, xr, xi, code_rows,
+                   n_tiles: int, W: int, sub: str = "none",
+                   stream: bool = False, interpret: bool = False):
+    """Drop-in for pallas_track.epl_correlate, sub == "none" only.
+    Same operands (si [C,9] i32, sf [C,4] f32, shared [1, NCHUNK] chunk
+    planes, extend_code rows); returns [C, 128] with lanes 0..5 =
+    E_re, E_im, P_re, P_im, L_re, L_im."""
+    if sub != "none":
+        raise ValueError("epl_correlate2 is the BPSK fast path; "
+                         f"sub={sub!r} takes the v1 kernel")
+    C = si.shape[0]
+    grid_tiles = n_tiles + 1
+    grid = (C, grid_tiles)
+    W2 = W + 128
+    chunk_spec = pl.BlockSpec((1, TILE),
+                              lambda c, j, si, sf: (0, si[c, 8] // TILE + j),
+                              memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((1, 128), jnp.float32)]
+    if stream:
+        code_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scratch += [pltpu.VMEM((1, W2 + 256), jnp.float32),
+                    pltpu.SemaphoreType.DMA]
+    else:
+        code_spec = pl.BlockSpec((1, 1, code_rows.shape[1]),
+                                 lambda c, j, si, sf: (c, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel, grid_tiles=grid_tiles, W=W, stream=stream),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[chunk_spec, chunk_spec, code_spec],
+            out_specs=pl.BlockSpec((1, 1, 128),
+                                   lambda c, j, si, sf: (c, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
+        ),
+        out_shape=jax.ShapeDtypeStruct((C, 1, 128), jnp.float32),
+        interpret=interpret,
+    )(si, sf, xr, xi, code_rows[:, None, :])[:, 0, :]
+
+epl_correlate = epl_correlate2  # bench A/B alias (tools/bench_kernel_scan.py)

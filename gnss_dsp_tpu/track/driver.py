@@ -157,6 +157,7 @@ def make_params(sig, fs: float, coffset: float, loop_dwells=(500, 500),
         sub=int(sub),
         subcarrier=str(sig.subcarrier),
         use_pallas=bool(use_pallas),
+        pallas_v2=bool(use_pallas) and str(sig.subcarrier) == "none",
         pallas_tiles=int(pallas_tiles),
         pallas_w=int(pallas_w),
         pallas_stream=bool(use_pallas

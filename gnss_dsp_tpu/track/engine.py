@@ -83,6 +83,8 @@ class TrackParams(NamedTuple):
                                # samples into per-chip bins once
                                # block > recover_after; -1 = off
                                # (track-beidou-b2bi.py:47-53)
+    pallas_v2: bool = False    # factorized-one-hot fast correlator
+                               # (ops/pallas_track2; BPSK sub="none" only)
     coh_blocks: int = 1        # extended-coherent tracking: accumulate
                                # overlay-wiped complex E/P/L over M code
                                # periods; loop filters update at the M
@@ -487,11 +489,20 @@ def _step_pallas(x2, chunk_len, code_rows_ext, ratios,
 
     # per-channel sample windows are selected INSIDE the kernel (scalar-
     # prefetch index map on the shared chunk) — no host-side slicing
-    sums = ptk.epl_correlate(
-        si, sf, x2[0], x2[1], code_rows_ext,
-        n_tiles=p.pallas_tiles, W=p.pallas_w, sub=p.subcarrier,
-        stream=p.pallas_stream,
-    )
+    if p.pallas_v2:
+        from gnss_dsp_tpu.ops import pallas_track2 as ptk2
+
+        sums = ptk2.epl_correlate2(
+            si, sf, x2[0], x2[1], code_rows_ext,
+            n_tiles=p.pallas_tiles, W=p.pallas_w,
+            stream=p.pallas_stream,
+        )
+    else:
+        sums = ptk.epl_correlate(
+            si, sf, x2[0], x2[1], code_rows_ext,
+            n_tiles=p.pallas_tiles, W=p.pallas_w, sub=p.subcarrier,
+            stream=p.pallas_stream,
+        )
     p_early = (sums[:, 0], sums[:, 1])
     p_prompt = (sums[:, 2], sums[:, 3])
     p_late = (sums[:, 4], sums[:, 5])

@@ -59,12 +59,14 @@ def oracle(x, code, code_p, cf, el, ph0a, dpha, ph0b, dphb, n_valid, sub):
     return np.array(out)
 
 
-@pytest.mark.parametrize("sub,stream", [
-    ("none", False), ("boc11", False), ("cboc", False), ("tmboc", False),
-    ("rz_even", False), ("rz_odd", False),
-    ("none", True), ("boc11", True),   # HBM-streamed code windows
+@pytest.mark.parametrize("sub,stream,v2", [
+    ("none", False, False), ("boc11", False, False), ("cboc", False, False),
+    ("tmboc", False, False),
+    ("rz_even", False, False), ("rz_odd", False, False),
+    ("none", True, False), ("boc11", True, False),  # HBM-streamed windows
+    ("none", False, True), ("none", True, True),    # v2 factorized kernel
 ])
-def test_kernel_matches_oracle(sub, stream, rng):
+def test_kernel_matches_oracle(sub, stream, v2, rng):
     fs = 4.096e6
     chip_rate = 1.023e6
     L = 1023
@@ -112,13 +114,24 @@ def test_kernel_matches_oracle(sub, stream, rng):
         oracle_out[c] = oracle(xs[ptr:ptr + nv].copy(), code, code_p, cf, el,
                                ph0a, dpha, ph0b, dphb, nv, sub)
 
-    got = np.asarray(ptk.epl_correlate(
-        jnp.asarray(si), jnp.asarray(sf),
-        jnp.asarray(xs.real.astype(np.float32))[None, :],
-        jnp.asarray(xs.imag.astype(np.float32))[None, :],
-        jnp.asarray(code_rows),
-        n_tiles=n_tiles, W=W, sub=sub, stream=stream, interpret=True,
-    ))[:, :6]
+    if v2:
+        from gnss_dsp_tpu.ops import pallas_track2 as ptk2
+        got = np.asarray(ptk2.epl_correlate2(
+            jnp.asarray(si), jnp.asarray(sf),
+            jnp.asarray(xs.real.astype(np.float32))[None, :],
+            jnp.asarray(xs.imag.astype(np.float32))[None, :],
+            jnp.asarray(code_rows),
+            n_tiles=n_tiles, W=W, stream=stream, interpret=True,
+        ))[:, :6]
+    else:
+        got = np.asarray(ptk.epl_correlate(
+            jnp.asarray(si), jnp.asarray(sf),
+            jnp.asarray(xs.real.astype(np.float32))[None, :],
+            jnp.asarray(xs.imag.astype(np.float32))[None, :],
+            jnp.asarray(code_rows),
+            n_tiles=n_tiles, W=W, sub=sub, stream=stream,
+            interpret=True,
+        ))[:, :6]
 
     scale = np.abs(oracle_out).max()
     np.testing.assert_allclose(got, oracle_out, atol=8e-3 * scale, rtol=2e-2)  # bf16 one-hot/m operands

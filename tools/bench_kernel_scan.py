@@ -23,7 +23,7 @@ rng = np.random.default_rng(0)
 fs = 4.096e6
 chip_rate = 1.023e6
 L = 1023
-C = 32
+C = int(os.environ.get('BENCH_C', '32'))
 n = 4096
 n_tiles = -(-n // ptk.TILE)
 cf = chip_rate / fs
