@@ -66,6 +66,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 1024
 LEAD = 128              # extend_code lane lead so cw(-1) reads stay in range
+
+
+def env_interpret() -> bool:
+    """CPU test hook: GNSS_DSP_PALLAS_INTERPRET=1 runs every tracking
+    kernel in pallas interpret mode so the full engine paths (v1/v2/
+    fused) execute on the CPU backend.  Read at trace time."""
+    import os
+
+    return bool(os.environ.get("GNSS_DSP_PALLAS_INTERPRET"))
 _LUT_SHIFT = np.uint32(22)
 _TWO_PI_OVER_NT = np.float32(2.0 * np.pi / 1024.0)
 _CBOC_W1 = np.float32(0.953463)
@@ -278,6 +287,7 @@ def epl_correlate(si, sf, xr, xi, code_rows,
              codes (GLONASS P, L2CL) whose extended rows exceed VMEM.
     Returns [C, 128] f32; columns 0..5 = E_re, E_im, P_re, P_im, L_re, L_im.
     """
+    interpret = interpret or env_interpret()
     C = si.shape[0]
     grid_tiles = n_tiles + 1          # +1: ptr lands mid-tile
     grid = (C, grid_tiles)

@@ -63,6 +63,126 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def tile_contrib(i0, nvalid, dph_a, ph0_a, dph_b, ph0_b,
+                 vint_e, vint_p, vint_l, fr_e, fr_p, fr_l, cf,
+                 xr_p, xi_p, W, read_code_window):
+    """One TILE's factorized E/P/L contribution (the v2 math), as a pure
+    function so the per-block fused tracking kernel (pallas_track_fused)
+    can share it.  Scalars are traced kernel values; xr_p/xi_p are the
+    tile's samples in the packed (8, 128) layout; read_code_window(sa)
+    returns the (1, W2+256) extended-code slice starting at lane sa-128.
+    Returns a (1, 128) vector with lanes 0..5 = E_re..L_im."""
+    W2 = W + 128
+    A = W2 // 128
+    Ap = _next_pow2(A)
+    R = 8 * Ap
+
+    # ---- per-sample pipeline on the PACKED (8, 128) layout: 1024
+    # samples = ONE vreg per quantity, so the DDS phase ints and the
+    # two transcendentals cost 1/8th of the [8, TILE] form (the tile
+    # ablation showed cos+sin alone at ~0.25 us/gridstep there).
+    # Sample s = 128*u + v; reshape back to (1, TILE) is row-major.
+    up = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    vp = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    i_rel_p = i0 + up * 128 + vp
+
+    ph_a = (ph0_a + i_rel_p * dph_a).astype(jnp.uint32)
+    ph_b = (ph0_b + i_rel_p * dph_b).astype(jnp.uint32)
+    idx = (jax.lax.shift_right_logical(ph_a, _LUT_SHIFT).astype(jnp.int32)
+           + jax.lax.shift_right_logical(ph_b, _LUT_SHIFT).astype(jnp.int32)
+           ) & 1023
+    ang = idx.astype(jnp.float32) * _TWO_PI_OVER_NT
+    wc_p = jnp.cos(ang)
+    ws_p = jnp.sin(ang)
+    mask_p = ((i_rel_p >= 0).astype(jnp.float32)
+              * (i_rel_p < nvalid).astype(jnp.float32))
+
+    i_f_p = i_rel_p.astype(jnp.float32)
+    rel_p_pk = jnp.floor(fr_p + i_f_p * cf).astype(jnp.int32)
+    rel_e_pk = jnp.floor(fr_e + i_f_p * cf).astype(jnp.int32)
+    rel_l_pk = jnp.floor(fr_l + i_f_p * cf).astype(jnp.int32)
+    d_e = (vint_e + rel_e_pk) - (vint_p + rel_p_pk)   # in {-1, 0}
+    d_l = (vint_l + rel_l_pk) - (vint_p + rel_p_pk)   # in {0, +1}
+
+    m_re_p = (xr_p * wc_p - xi_p * ws_p) * mask_p     # wiped sample, re
+    m_im_p = (xr_p * ws_p + xi_p * wc_p) * mask_p     # ... im
+    e1_p = (d_e < 0).astype(jnp.float32)
+    l1_p = (d_l > 0).astype(jnp.float32)
+
+    # back to lane-major (1, TILE) rows (cheap: 8 vregs each)
+    m_re = m_re_p.reshape(1, TILE)
+    m_im = m_im_p.reshape(1, TILE)
+    e1 = e1_p.reshape(1, TILE)
+    l1 = l1_p.reshape(1, TILE)
+
+    # ---- the 8 group planes p_re, p_im, e_re, e_im, l_re, l_im, 0, 0
+    g8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    par = (g8 & 1).astype(jnp.float32)          # 0 = re row, 1 = im row
+    q1 = jnp.logical_and(g8 >= 2, g8 < 4).astype(jnp.float32)   # early
+    q2 = jnp.logical_and(g8 >= 4, g8 < 6).astype(jnp.float32)   # late
+    q0 = (g8 < 2).astype(jnp.float32)                           # prompt
+    factor = q0 + q1 * e1 + q2 * l1
+    planes = ((m_re * (1.0 - par) + m_im * par) * factor
+              ).astype(jnp.bfloat16)
+
+    # ---- prompt window base / alignment (identical arithmetic to v1)
+    i_start = jnp.maximum(i0, 0).astype(jnp.float32)
+    base = jnp.floor(fr_p + i_start * cf).astype(jnp.int32)
+    start = vint_p + base + 1 + LEAD
+    sa = (start // 128) * 128
+    delta = start - sa
+
+    ap = ((rel_p_pk - base + delta) >> 7).reshape(1, TILE)  # a' in [0, A)
+
+    # ---- operand: concat the 8-row block A' times; row r = 8a' + g
+    M = jnp.concatenate([planes] * Ap, axis=0)            # [R, TILE]
+    a_r = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) >> 3
+    M = M * (ap == a_r).astype(jnp.bfloat16)
+
+    # ---- b' one-hot [TILE, 128] (4x smaller than v1's [TILE, W2])
+    it = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0).reshape(TILE)
+    i_f1 = (i0 + it).astype(jnp.float32)
+    rel_p1 = jnp.floor(fr_p + i_f1 * cf).astype(jnp.int32)
+    col1 = rel_p1 - base + delta
+    b1 = col1 & 127
+    w_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
+    oh = (w_iota == b1[:, None]).astype(jnp.bfloat16)
+
+    seg = jnp.dot(M, oh, preferred_element_type=jnp.float32)  # [R, 128]
+
+    # ---- code windows; v1-identical reads/rolls, then [A', 128] tiles
+    cwbig = read_code_window(sa)
+    cw = cwbig[:, 128:128 + W2]
+    cwm = pltpu.roll(cwbig, shift=1, axis=1)[:, 128:128 + W2]
+    cwp = pltpu.roll(cwbig, shift=W2 + 255, axis=1)[:, 128:128 + W2]
+    cw2d = cw.reshape(A, 128)
+    ce2d = (cwm - cw).reshape(A, 128)
+    cl2d = (cwp - cw).reshape(A, 128)
+    if Ap != A:
+        z = jnp.zeros((Ap - A, 128), jnp.float32)
+        cw2d = jnp.concatenate([cw2d, z], axis=0)
+        ce2d = jnp.concatenate([ce2d, z], axis=0)
+        cl2d = jnp.concatenate([cl2d, z], axis=0)
+    zA = jnp.zeros((Ap, 128), jnp.float32)
+    csel = jnp.stack([cw2d, cw2d, ce2d, ce2d, cl2d, cl2d, zA, zA],
+                     axis=1).reshape(R, 128)
+
+    prod = seg * csel                              # [R, 128]
+    gR = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) & 7
+    s = [jnp.sum(prod * (gR == g).astype(jnp.float32)) for g in range(6)]
+    p_re, p_im = s[0], s[1]
+    e_re, e_im = p_re + s[2], p_im + s[3]
+    l_re, l_im = p_re + s[4], p_im + s[5]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    return (jnp.where(lane == 0, e_re, 0.0)
+            + jnp.where(lane == 1, e_im, 0.0)
+            + jnp.where(lane == 2, p_re, 0.0)
+            + jnp.where(lane == 3, p_im, 0.0)
+            + jnp.where(lane == 4, l_re, 0.0)
+            + jnp.where(lane == 5, l_im, 0.0))
+
+
 def _kernel(si_ref, sf_ref, xr_ref, xi_ref, code_ref, out_ref, acc,
             win_ref=None, dma_sem=None, *, grid_tiles, W, stream):
     c = pl.program_id(0)
@@ -87,131 +207,29 @@ def _kernel(si_ref, sf_ref, xr_ref, xi_ref, code_ref, out_ref, acc,
     cf = sf_ref[c, 3]
 
     W2 = W + 128
-    A = W2 // 128
-    Ap = _next_pow2(A)
-    R = 8 * Ap
 
     off = ptr - (ptr // TILE) * TILE
     i0 = j * TILE - off
 
     @pl.when(i0 < nvalid)
     def _tile():
-        # ---- per-sample pipeline on the PACKED (8, 128) layout: 1024
-        # samples = ONE vreg per quantity, so the DDS phase ints and the
-        # two transcendentals cost 1/8th of the [8, TILE] form (the tile
-        # ablation showed cos+sin alone at ~0.25 us/gridstep there).
-        # Sample s = 128*u + v; reshape back to (1, TILE) is row-major.
-        up = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        vp = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        i_rel_p = i0 + up * 128 + vp
+        def read_code_window(sa):
+            if stream:
+                dma = pltpu.make_async_copy(
+                    code_ref.at[c, :, pl.ds(pl.multiple_of(sa - 128, 128),
+                                            W2 + 256)],
+                    win_ref, dma_sem)
+                dma.start()
+                dma.wait()
+                return win_ref[0:1, :]
+            return code_ref[0, :, pl.ds(pl.multiple_of(sa - 128, 128),
+                                        W2 + 256)]
 
-        ph_a = (ph0_a + i_rel_p * dph_a).astype(jnp.uint32)
-        ph_b = (ph0_b + i_rel_p * dph_b).astype(jnp.uint32)
-        idx = (jax.lax.shift_right_logical(ph_a, _LUT_SHIFT).astype(jnp.int32)
-               + jax.lax.shift_right_logical(ph_b, _LUT_SHIFT).astype(jnp.int32)
-               ) & 1023
-        ang = idx.astype(jnp.float32) * _TWO_PI_OVER_NT
-        wc_p = jnp.cos(ang)
-        ws_p = jnp.sin(ang)
-        mask_p = ((i_rel_p >= 0).astype(jnp.float32)
-                  * (i_rel_p < nvalid).astype(jnp.float32))
-
-        i_f_p = i_rel_p.astype(jnp.float32)
-        rel_p_pk = jnp.floor(fr_p + i_f_p * cf).astype(jnp.int32)
-        rel_e_pk = jnp.floor(fr_e + i_f_p * cf).astype(jnp.int32)
-        rel_l_pk = jnp.floor(fr_l + i_f_p * cf).astype(jnp.int32)
-        d_e = (vint_e + rel_e_pk) - (vint_p + rel_p_pk)   # in {-1, 0}
-        d_l = (vint_l + rel_l_pk) - (vint_p + rel_p_pk)   # in {0, +1}
-
-        xr_p = xr_ref[0:1, :].reshape(8, 128)
-        xi_p = xi_ref[0:1, :].reshape(8, 128)
-        m_re_p = (xr_p * wc_p - xi_p * ws_p) * mask_p     # wiped sample, re
-        m_im_p = (xr_p * ws_p + xi_p * wc_p) * mask_p     # ... im
-        e1_p = (d_e < 0).astype(jnp.float32)
-        l1_p = (d_l > 0).astype(jnp.float32)
-
-        # back to lane-major (1, TILE) rows (cheap: 8 vregs each)
-        m_re = m_re_p.reshape(1, TILE)
-        m_im = m_im_p.reshape(1, TILE)
-        e1 = e1_p.reshape(1, TILE)
-        l1 = l1_p.reshape(1, TILE)
-
-        # ---- the 8 group planes p_re, p_im, e_re, e_im, l_re, l_im, 0, 0
-        g8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-        par = (g8 & 1).astype(jnp.float32)          # 0 = re row, 1 = im row
-        q1 = jnp.logical_and(g8 >= 2, g8 < 4).astype(jnp.float32)   # early
-        q2 = jnp.logical_and(g8 >= 4, g8 < 6).astype(jnp.float32)   # late
-        q0 = (g8 < 2).astype(jnp.float32)                           # prompt
-        factor = q0 + q1 * e1 + q2 * l1
-        planes = ((m_re * (1.0 - par) + m_im * par) * factor
-                  ).astype(jnp.bfloat16)
-
-        # ---- prompt window base / alignment (identical arithmetic to v1)
-        i_start = jnp.maximum(i0, 0).astype(jnp.float32)
-        base = jnp.floor(fr_p + i_start * cf).astype(jnp.int32)
-        start = vint_p + base + 1 + LEAD
-        sa = (start // 128) * 128
-        delta = start - sa
-
-        ap = ((rel_p_pk - base + delta) >> 7).reshape(1, TILE)  # a' in [0, A)
-
-        # ---- operand: concat the 8-row block A' times; row r = 8a' + g
-        M = jnp.concatenate([planes] * Ap, axis=0)            # [R, TILE]
-        a_r = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) >> 3
-        M = M * (ap == a_r).astype(jnp.bfloat16)
-
-        # ---- b' one-hot [TILE, 128] (4x smaller than v1's [TILE, W2])
-        it = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0).reshape(TILE)
-        i_f1 = (i0 + it).astype(jnp.float32)
-        rel_p1 = jnp.floor(fr_p + i_f1 * cf).astype(jnp.int32)
-        col1 = rel_p1 - base + delta
-        b1 = col1 & 127
-        w_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
-        oh = (w_iota == b1[:, None]).astype(jnp.bfloat16)
-
-        seg = jnp.dot(M, oh, preferred_element_type=jnp.float32)  # [R, 128]
-
-        # ---- code windows; v1-identical reads/rolls, then [A', 128] tiles
-        if stream:
-            dma = pltpu.make_async_copy(
-                code_ref.at[c, :, pl.ds(pl.multiple_of(sa - 128, 128),
-                                        W2 + 256)],
-                win_ref, dma_sem)
-            dma.start()
-            dma.wait()
-            cwbig = win_ref[0:1, :]
-        else:
-            cwbig = code_ref[0, :, pl.ds(pl.multiple_of(sa - 128, 128),
-                                         W2 + 256)]
-        cw = cwbig[:, 128:128 + W2]
-        cwm = pltpu.roll(cwbig, shift=1, axis=1)[:, 128:128 + W2]
-        cwp = pltpu.roll(cwbig, shift=W2 + 255, axis=1)[:, 128:128 + W2]
-        cw2d = cw.reshape(A, 128)
-        ce2d = (cwm - cw).reshape(A, 128)
-        cl2d = (cwp - cw).reshape(A, 128)
-        if Ap != A:
-            z = jnp.zeros((Ap - A, 128), jnp.float32)
-            cw2d = jnp.concatenate([cw2d, z], axis=0)
-            ce2d = jnp.concatenate([ce2d, z], axis=0)
-            cl2d = jnp.concatenate([cl2d, z], axis=0)
-        zA = jnp.zeros((Ap, 128), jnp.float32)
-        csel = jnp.stack([cw2d, cw2d, ce2d, ce2d, cl2d, cl2d, zA, zA],
-                         axis=1).reshape(R, 128)
-
-        prod = seg * csel                              # [R, 128]
-        gR = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) & 7
-        s = [jnp.sum(prod * (gR == g).astype(jnp.float32)) for g in range(6)]
-        p_re, p_im = s[0], s[1]
-        e_re, e_im = p_re + s[2], p_im + s[3]
-        l_re, l_im = p_re + s[4], p_im + s[5]
-
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-        contrib = (jnp.where(lane == 0, e_re, 0.0)
-                   + jnp.where(lane == 1, e_im, 0.0)
-                   + jnp.where(lane == 2, p_re, 0.0)
-                   + jnp.where(lane == 3, p_im, 0.0)
-                   + jnp.where(lane == 4, l_re, 0.0)
-                   + jnp.where(lane == 5, l_im, 0.0))
+        contrib = tile_contrib(
+            i0, nvalid, dph_a, ph0_a, dph_b, ph0_b,
+            vint_e, vint_p, vint_l, fr_e, fr_p, fr_l, cf,
+            xr_ref[0:1, :].reshape(8, 128), xi_ref[0:1, :].reshape(8, 128),
+            W, read_code_window)
         acc[0, :] = acc[0, :] + contrib[0, :]
 
     @pl.when(j == grid_tiles - 1)
@@ -232,6 +250,9 @@ def epl_correlate2(si, sf, xr, xi, code_rows,
     if sub != "none":
         raise ValueError("epl_correlate2 is the BPSK fast path; "
                          f"sub={sub!r} takes the v1 kernel")
+    from gnss_dsp_tpu.ops.pallas_track import env_interpret
+
+    interpret = interpret or env_interpret()
     C = si.shape[0]
     grid_tiles = n_tiles + 1
     grid = (C, grid_tiles)

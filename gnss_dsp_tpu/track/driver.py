@@ -9,6 +9,7 @@ are accumulated host-side in int64 from per-block deltas.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -158,6 +159,10 @@ def make_params(sig, fs: float, coffset: float, loop_dwells=(500, 500),
         subcarrier=str(sig.subcarrier),
         use_pallas=bool(use_pallas),
         pallas_v2=bool(use_pallas) and str(sig.subcarrier) == "none",
+        fused_scan=bool(use_pallas) and str(sig.subcarrier) == "none"
+        and sub == 1 and coherent_blocks == 1 and recover_after < 0
+        and sig.code_length <= _STREAM_CODE_CHIPS
+        and not os.environ.get("GNSS_DSP_NO_FUSED"),
         pallas_tiles=int(pallas_tiles),
         pallas_w=int(pallas_w),
         pallas_stream=bool(use_pallas

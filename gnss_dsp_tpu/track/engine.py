@@ -85,6 +85,11 @@ class TrackParams(NamedTuple):
                                # (track-beidou-b2bi.py:47-53)
     pallas_v2: bool = False    # factorized-one-hot fast correlator
                                # (ops/pallas_track2; BPSK sub="none" only)
+    fused_scan: bool = False   # whole-loop fused kernel: every block of
+                               # the scan runs inside ONE pallas launch
+                               # with the loop-filter recurrence in-kernel
+                               # (ops/pallas_track_fused; BPSK, sub==1,
+                               # no recovery/coherent/streamed-code)
     coh_blocks: int = 1        # extended-coherent tracking: accumulate
                                # overlay-wiped complex E/P/L over M code
                                # periods; loop filters update at the M
@@ -539,6 +544,16 @@ def track_scan(x_chunk, chunk_len, code_tab, state: TrackState,
         coffset_df = jnp.full(state.block.shape,
                               jnp.int32(params.coffset_df_fixed))
     use_pallas = params.use_pallas and code_rows_ext is not None
+    if (params.fused_scan and use_pallas and overlay is None
+            and params.sub == 1 and params.subcarrier == "none"
+            and params.coh_blocks == 1 and params.recover_after < 0
+            and not params.pallas_stream):
+        from gnss_dsp_tpu.ops import pallas_track_fused as ptf
+
+        x2 = (x_chunk[0].reshape(1, -1), x_chunk[1].reshape(1, -1))
+        return ptf.track_scan_fused(
+            x2, chunk_len, state, params, n_blocks, ratios,
+            code_rows_ext, coffset_df)
     if use_pallas:
         # shape the chunk planes for the kernel ONCE, outside the scan
         x2 = (x_chunk[0].reshape(1, -1), x_chunk[1].reshape(1, -1))

@@ -1,0 +1,114 @@
+"""Whole-loop fused tracking kernel (ops/pallas_track_fused) vs the
+step-scan engine: same rows, same state, on the CPU backend in pallas
+interpret mode (GNSS_DSP_PALLAS_INTERPRET).
+
+Both paths share the v2 correlator math (pallas_track2.tile_contrib) and
+the loop-filter formulas, so rows should agree to f32 rounding; the only
+divergence source is op-scheduling noise, covered by a tight tolerance.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gnss_dsp_tpu.models import get_signal
+from gnss_dsp_tpu.models.codes import gps_ca
+from gnss_dsp_tpu.track.driver import make_params
+from gnss_dsp_tpu.track.engine import init_state, track_scan
+from gnss_dsp_tpu.ops import pallas_track as ptk
+from gnss_dsp_tpu.utils import synth
+
+
+def _setup(fs, prns, dops, phases, seconds=0.06, coffset=1250.0):
+    sig = get_signal("gps-l1")
+    n = int(fs * seconds)
+    x = sum(
+        synth.synth_iq(gps_ca.ca_code(p).astype(np.float64), sig.chip_rate,
+                       fs, n, doppler_hz=d, code_phase=cp, cn0_dbhz=None,
+                       carrier_ratio=1540.0)
+        for p, d, cp in zip(prns, dops, phases)
+    )
+    # place the scene at a nonzero carrier offset so the fused kernel's
+    # in-kernel coffset DDS (int32 wraparound path) is exercised
+    x = x * np.exp(2j * np.pi * coffset / fs * np.arange(n))
+    params = make_params(sig, fs, coffset=coffset, loop_dwells=(8, 8),
+                         use_pallas=True)
+    assert params.fused_scan and params.pallas_v2
+    C = len(prns)
+    code_np = sig.code_table(tuple(prns)).astype(np.int8)
+    cf_nom = sig.chip_rate / fs
+    rows_ext = jnp.asarray(ptk.extend_code(
+        code_np, params.pallas_w,
+        int((params.pallas_tiles + 1) * ptk.TILE * cf_nom * 1.05) + 4))
+    pad = (params.pallas_tiles + 1) * ptk.TILE
+    tail = pad + (-(n + pad)) % 1024
+    xp = np.concatenate([x, np.zeros(tail, np.complex64)])
+    xd = (jnp.asarray(xp.real.astype(np.float32)),
+          jnp.asarray(xp.imag.astype(np.float32)))
+    st = init_state(code_p=list(phases), code_f_off=[0.0] * C,
+                    carrier_p=[0.0] * C, carrier_f=list(dops))
+    tab = jnp.asarray(code_np)
+    ratios = jnp.full((C,), 1540.0, jnp.float32)
+    cdf = jnp.full((C,), params.coffset_df_fixed, jnp.int32)
+    return params, xd, n, tab, st, rows_ext, ratios, cdf
+
+
+def _run(params, xd, chunk_len, tab, st, rows_ext, ratios, cdf, nb):
+    st2, rf, ri = track_scan(xd, jnp.int32(chunk_len), tab, st, params, nb,
+                             ratios=ratios, code_rows_ext=rows_ext,
+                             coffset_df=cdf)
+    return st2, np.asarray(rf), np.asarray(ri)
+
+
+@pytest.mark.parametrize("C", [1, 2])
+def test_fused_matches_scan(C, monkeypatch):
+    monkeypatch.setenv("GNSS_DSP_PALLAS_INTERPRET", "1")
+    fs = 2.048e6
+    prns = [7, 13][:C]
+    dops = [900.0, -2200.0][:C]
+    phases = [5.0, 417.25][:C]
+    params, xd, n, tab, st, rows_ext, ratios, cdf = _setup(
+        fs, prns, dops, phases)
+    nb = 40
+    st_a, rf_a, ri_a = _run(params._replace(fused_scan=False), xd, n, tab,
+                            st, rows_ext, ratios, cdf, nb)
+    st_b, rf_b, ri_b = _run(params, xd, n, tab, st, rows_ext, ratios, cdf,
+                            nb)
+    np.testing.assert_array_equal(ri_a, ri_b)
+    np.testing.assert_allclose(rf_a, rf_b, rtol=2e-5, atol=2e-4)
+    for name in ("ptr", "block", "coffset_p", "stalled"):
+        np.testing.assert_array_equal(np.asarray(getattr(st_a, name)),
+                                      np.asarray(getattr(st_b, name)), name)
+    for name in ("code_p_hi", "code_p_lo", "code_f_off", "carrier_p",
+                 "carrier_f", "prompt1_re", "prompt1_im", "carrier_e1",
+                 "code_e1"):
+        np.testing.assert_allclose(np.asarray(getattr(st_a, name)),
+                                   np.asarray(getattr(st_b, name)),
+                                   rtol=2e-5, atol=2e-4, err_msg=name)
+
+
+def test_fused_stall_refill_matches_scan(monkeypatch):
+    """Mid-scan chunk exhaustion: the fused kernel freezes the channel
+    (NaN rows, stalled latched) exactly like the scan engine, and the
+    refill continues bit-compatibly."""
+    monkeypatch.setenv("GNSS_DSP_PALLAS_INTERPRET", "1")
+    fs = 2.048e6
+    params, xd, n, tab, st, rows_ext, ratios, cdf = _setup(
+        fs, [7], [900.0], [5.0])
+    nb = 40
+    short = int(fs * 0.020)
+    # full-run oracle on the scan path
+    _, rf_a, ri_a = _run(params._replace(fused_scan=False), xd, n, tab, st,
+                         rows_ext, ratios, cdf, nb)
+    st1, rf_1, ri_1 = _run(params, xd, short, tab, st, rows_ext, ratios,
+                           cdf, nb)
+    n1 = int((ri_1[:, 0, 0] > 0).sum())
+    assert 15 <= n1 < 25, n1
+    assert bool(np.asarray(st1.stalled)[0])
+    assert np.isnan(rf_1[n1:, :, 0]).all()
+    st1 = st1._replace(stalled=jnp.zeros_like(st1.stalled))
+    _, rf_2, ri_2 = _run(params, xd, n, tab, st1, rows_ext, ratios, cdf,
+                         nb - n1)
+    np.testing.assert_allclose(rf_a[:n1], rf_1[:n1], rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(rf_a[n1:], rf_2, rtol=2e-5, atol=2e-4)
+    np.testing.assert_array_equal(ri_a[n1:], ri_2)
