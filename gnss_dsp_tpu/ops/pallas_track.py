@@ -75,16 +75,18 @@ def env_interpret() -> bool:
     import os
 
     return bool(os.environ.get("GNSS_DSP_PALLAS_INTERPRET"))
+
+
 _LUT_SHIFT = np.uint32(22)
 _TWO_PI_OVER_NT = np.float32(2.0 * np.pi / 1024.0)
 _CBOC_W1 = np.float32(0.953463)
 _CBOC_W6 = np.float32(0.301511)
 
 
-def chip_window(cf_nominal: float) -> int:
-    """Static one-hot width: chips one TILE can span (with slack for the
+def chip_window(cf_nominal: float, tile: int = TILE) -> int:
+    """Static one-hot width: chips one tile can span (with slack for the
     doppler-aided dynamic cf), padded to lanes."""
-    w = int(np.ceil(TILE * cf_nominal * 1.1)) + 8
+    w = int(np.ceil(tile * cf_nominal * 1.1)) + 8
     return max(128, -(-w // 128) * 128)
 
 

@@ -55,6 +55,10 @@ from gnss_dsp_tpu.ops.pallas_track import TILE, LEAD, chip_window, extend_code  
 _LUT_SHIFT = np.uint32(22)
 _TWO_PI_OVER_NT = np.float32(2.0 * np.pi / 1024.0)
 
+# stage-ablation probe for perf diagnosis (see tools/bench_track_fused)
+import os as _os  # noqa: E402
+_TPROBE = set(_os.environ.get("GNSS_DSP_TILE_PROBE", "").split(","))
+
 
 def _next_pow2(n: int) -> int:
     p = 1
@@ -65,13 +69,17 @@ def _next_pow2(n: int) -> int:
 
 def tile_contrib(i0, nvalid, dph_a, ph0_a, dph_b, ph0_b,
                  vint_e, vint_p, vint_l, fr_e, fr_p, fr_l, cf,
-                 xr_p, xi_p, W, read_code_window):
+                 xr_p, xi_p, W, read_code_tiles, tsz: int = TILE):
     """One TILE's factorized E/P/L contribution (the v2 math), as a pure
     function so the per-block fused tracking kernel (pallas_track_fused)
     can share it.  Scalars are traced kernel values; xr_p/xi_p are the
-    tile's samples in the packed (8, 128) layout; read_code_window(sa)
-    returns the (1, W2+256) extended-code slice starting at lane sa-128.
-    Returns a (1, 128) vector with lanes 0..5 = E_re..L_im."""
+    tile's samples in the packed (8, 128) layout; read_code_tiles(k0, m)
+    returns m consecutive 128-chip rows of the PRE-TILED extended code
+    (extend_code reshaped [..., 128]) starting at row k0 — row-aligned
+    sublane reads, so the window needs no lane-slice/reshape relayouts.
+    Returns the [R, 128] prod tile (see finalize_contrib).  tsz is the
+    tile's sample count (the fused kernel runs bigger tiles than the
+    BlockSpec-fed v2 kernel's TILE)."""
     W2 = W + 128
     A = W2 // 128
     Ap = _next_pow2(A)
@@ -82,8 +90,9 @@ def tile_contrib(i0, nvalid, dph_a, ph0_a, dph_b, ph0_b,
     # two transcendentals cost 1/8th of the [8, TILE] form (the tile
     # ablation showed cos+sin alone at ~0.25 us/gridstep there).
     # Sample s = 128*u + v; reshape back to (1, TILE) is row-major.
-    up = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    vp = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    su = tsz // 128
+    up = jax.lax.broadcasted_iota(jnp.int32, (su, 128), 0)
+    vp = jax.lax.broadcasted_iota(jnp.int32, (su, 128), 1)
     i_rel_p = i0 + up * 128 + vp
 
     ph_a = (ph0_a + i_rel_p * dph_a).astype(jnp.uint32)
@@ -92,8 +101,12 @@ def tile_contrib(i0, nvalid, dph_a, ph0_a, dph_b, ph0_b,
            + jax.lax.shift_right_logical(ph_b, _LUT_SHIFT).astype(jnp.int32)
            ) & 1023
     ang = idx.astype(jnp.float32) * _TWO_PI_OVER_NT
-    wc_p = jnp.cos(ang)
-    ws_p = jnp.sin(ang)
+    if "notrig" in _TPROBE:
+        wc_p = ang
+        ws_p = -ang
+    else:
+        wc_p = jnp.cos(ang)
+        ws_p = jnp.sin(ang)
     mask_p = ((i_rel_p >= 0).astype(jnp.float32)
               * (i_rel_p < nvalid).astype(jnp.float32))
 
@@ -109,11 +122,11 @@ def tile_contrib(i0, nvalid, dph_a, ph0_a, dph_b, ph0_b,
     e1_p = (d_e < 0).astype(jnp.float32)
     l1_p = (d_l > 0).astype(jnp.float32)
 
-    # back to lane-major (1, TILE) rows (cheap: 8 vregs each)
-    m_re = m_re_p.reshape(1, TILE)
-    m_im = m_im_p.reshape(1, TILE)
-    e1 = e1_p.reshape(1, TILE)
-    l1 = l1_p.reshape(1, TILE)
+    # back to lane-major (1, tsz) rows (cheap: su vregs each)
+    m_re = m_re_p.reshape(1, tsz)
+    m_im = m_im_p.reshape(1, tsz)
+    e1 = e1_p.reshape(1, tsz)
+    l1 = l1_p.reshape(1, tsz)
 
     # ---- the 8 group planes p_re, p_im, e_re, e_im, l_re, l_im, 0, 0
     g8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
@@ -132,32 +145,48 @@ def tile_contrib(i0, nvalid, dph_a, ph0_a, dph_b, ph0_b,
     sa = (start // 128) * 128
     delta = start - sa
 
-    ap = ((rel_p_pk - base + delta) >> 7).reshape(1, TILE)  # a' in [0, A)
+    ap = ((rel_p_pk - base + delta) >> 7).reshape(1, tsz)  # a' in [0, A)
 
     # ---- operand: concat the 8-row block A' times; row r = 8a' + g
     M = jnp.concatenate([planes] * Ap, axis=0)            # [R, TILE]
-    a_r = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) >> 3
-    M = M * (ap == a_r).astype(jnp.bfloat16)
+    if "nom" not in _TPROBE:
+        a_r = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) >> 3
+        M = M * (ap == a_r).astype(jnp.bfloat16)
 
     # ---- b' one-hot [TILE, 128] (4x smaller than v1's [TILE, W2])
-    it = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0).reshape(TILE)
-    i_f1 = (i0 + it).astype(jnp.float32)
-    rel_p1 = jnp.floor(fr_p + i_f1 * cf).astype(jnp.int32)
-    col1 = rel_p1 - base + delta
-    b1 = col1 & 127
-    w_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 1)
-    oh = (w_iota == b1[:, None]).astype(jnp.bfloat16)
+    if "nooh" in _TPROBE:
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (tsz, 128), 1)
+        oh = (w_iota == 0).astype(jnp.bfloat16)
+    else:
+        it = jax.lax.broadcasted_iota(jnp.int32, (tsz, 1), 0).reshape(tsz)
+        i_f1 = (i0 + it).astype(jnp.float32)
+        rel_p1 = jnp.floor(fr_p + i_f1 * cf).astype(jnp.int32)
+        col1 = rel_p1 - base + delta
+        b1 = col1 & 127
+        # the (tsz, 128) compare is the dominant VPU build; 16-bit and
+        # bf16 compares both fail to lower on this target ("Target does
+        # not support this comparison"), so int32 it stays
+        w_iota = jax.lax.broadcasted_iota(jnp.int32, (tsz, 128), 1)
+        oh = (w_iota == b1[:, None]).astype(jnp.bfloat16)
 
     seg = jnp.dot(M, oh, preferred_element_type=jnp.float32)  # [R, 128]
+    if "segones" in _TPROBE:
+        seg = jnp.ones((R, 128), jnp.float32)
 
-    # ---- code windows; v1-identical reads/rolls, then [A', 128] tiles
-    cwbig = read_code_window(sa)
-    cw = cwbig[:, 128:128 + W2]
-    cwm = pltpu.roll(cwbig, shift=1, axis=1)[:, 128:128 + W2]
-    cwp = pltpu.roll(cwbig, shift=W2 + 255, axis=1)[:, 128:128 + W2]
-    cw2d = cw.reshape(A, 128)
-    ce2d = (cwm - cw).reshape(A, 128)
-    cl2d = (cwp - cw).reshape(A, 128)
+    # ---- code windows from the PRE-TILED row layout: one row-aligned
+    # sublane read of A+2 rows, +-1-chip shifts via per-row rolls with a
+    # boundary-lane select — no lane-slices, no (1, W2) -> (A, 128)
+    # relayouts (measured ~0.3 us/tile in the fused kernel)
+    k0 = start // 128                              # == sa // 128
+    E = read_code_tiles(k0 - 1, A + 2)             # rows sa/128-1 .. +A
+    cw2d = E[1:A + 1]
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (A, 128), 1)
+    R1 = pltpu.roll(E, shift=1, axis=1)            # row-local right shift
+    cwm = jnp.where(lane128 == 0, R1[0:A], R1[1:A + 1])
+    L1 = pltpu.roll(E, shift=127, axis=1)          # row-local left shift
+    cwp = jnp.where(lane128 == 127, L1[2:A + 2], L1[1:A + 1])
+    ce2d = cwm - cw2d
+    cl2d = cwp - cw2d
     if Ap != A:
         z = jnp.zeros((Ap - A, 128), jnp.float32)
         cw2d = jnp.concatenate([cw2d, z], axis=0)
@@ -167,30 +196,47 @@ def tile_contrib(i0, nvalid, dph_a, ph0_a, dph_b, ph0_b,
     csel = jnp.stack([cw2d, cw2d, ce2d, ce2d, cl2d, cl2d, zA, zA],
                      axis=1).reshape(R, 128)
 
-    prod = seg * csel                              # [R, 128]
-    gR = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) & 7
-    s = [jnp.sum(prod * (gR == g).astype(jnp.float32)) for g in range(6)]
-    p_re, p_im = s[0], s[1]
-    e_re, e_im = p_re + s[2], p_im + s[3]
-    l_re, l_im = p_re + s[4], p_im + s[5]
+    return seg * csel                              # [R, 128] "prod"
+
+
+def finalize_contrib(prod_acc):
+    """[R, 128] accumulated prod tiles -> (1, 128) E/P/L lanes 0..5.
+
+    Group-reduce WITHOUT scalar reductions (each jnp.sum-to-scalar is a
+    serial vector->sreg drain; six per tile dominated the fused kernel's
+    tile latency).  Deferred to ONCE PER BLOCK (prod is linear in the
+    tiles, so the per-tile accumulation is a cheap [R, 128] add and the
+    two MXU round-trips here are paid once, not per tile): U = one-hot
+    (group) @ prod sums rows per group, V = U @ ones sums lanes (row-sum
+    replicated across lanes), then static row slices + lane masks
+    assemble E/P/L = prompt + boundary corrections."""
+    R = prod_acc.shape[0]
+    gR8 = jax.lax.broadcasted_iota(jnp.int32, (8, R), 1) & 7
+    g8i = jax.lax.broadcasted_iota(jnp.int32, (8, R), 0)
+    G = (gR8 == g8i).astype(jnp.float32)           # [8, R] group one-hot
+    U = jnp.dot(G, prod_acc, preferred_element_type=jnp.float32)  # [8,128]
+    V = jnp.dot(U, jnp.ones((128, 128), jnp.float32),
+                preferred_element_type=jnp.float32)            # [8, 128]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    return (jnp.where(lane == 0, e_re, 0.0)
-            + jnp.where(lane == 1, e_im, 0.0)
-            + jnp.where(lane == 2, p_re, 0.0)
-            + jnp.where(lane == 3, p_im, 0.0)
-            + jnp.where(lane == 4, l_re, 0.0)
-            + jnp.where(lane == 5, l_im, 0.0))
+    m_pe = ((lane == 0) | (lane == 2) | (lane == 4)).astype(jnp.float32)
+    m_po = ((lane == 1) | (lane == 3) | (lane == 5)).astype(jnp.float32)
+    return (V[0:1, :] * m_pe + V[1:2, :] * m_po
+            + V[2:3, :] * (lane == 0).astype(jnp.float32)
+            + V[3:4, :] * (lane == 1).astype(jnp.float32)
+            + V[4:5, :] * (lane == 4).astype(jnp.float32)
+            + V[5:6, :] * (lane == 5).astype(jnp.float32))
 
 
 def _kernel(si_ref, sf_ref, xr_ref, xi_ref, code_ref, out_ref, acc,
             win_ref=None, dma_sem=None, *, grid_tiles, W, stream):
     c = pl.program_id(0)
     j = pl.program_id(1)
+    R = acc.shape[0]
 
     @pl.when(j == 0)
     def _():
-        acc[0, :] = jnp.zeros((128,), jnp.float32)
+        acc[...] = jnp.zeros((R, 128), jnp.float32)
 
     vint_e = si_ref[c, 0]
     vint_p = si_ref[c, 1]
@@ -213,28 +259,25 @@ def _kernel(si_ref, sf_ref, xr_ref, xi_ref, code_ref, out_ref, acc,
 
     @pl.when(i0 < nvalid)
     def _tile():
-        def read_code_window(sa):
+        def read_code_tiles(k0, m):
             if stream:
                 dma = pltpu.make_async_copy(
-                    code_ref.at[c, :, pl.ds(pl.multiple_of(sa - 128, 128),
-                                            W2 + 256)],
-                    win_ref, dma_sem)
+                    code_ref.at[c, pl.ds(k0, m), :], win_ref, dma_sem)
                 dma.start()
                 dma.wait()
-                return win_ref[0:1, :]
-            return code_ref[0, :, pl.ds(pl.multiple_of(sa - 128, 128),
-                                        W2 + 256)]
+                return win_ref[...]
+            return code_ref[0, 0, pl.ds(k0, m), :]
 
-        contrib = tile_contrib(
+        prod = tile_contrib(
             i0, nvalid, dph_a, ph0_a, dph_b, ph0_b,
             vint_e, vint_p, vint_l, fr_e, fr_p, fr_l, cf,
             xr_ref[0:1, :].reshape(8, 128), xi_ref[0:1, :].reshape(8, 128),
-            W, read_code_window)
-        acc[0, :] = acc[0, :] + contrib[0, :]
+            W, read_code_tiles)
+        acc[...] = acc[...] + prod
 
     @pl.when(j == grid_tiles - 1)
     def _():
-        out_ref[0, 0, :] = acc[0, :]
+        out_ref[0, 0, :] = finalize_contrib(acc[...])[0, :]
 
 
 @functools.partial(
@@ -257,18 +300,24 @@ def epl_correlate2(si, sf, xr, xi, code_rows,
     grid_tiles = n_tiles + 1
     grid = (C, grid_tiles)
     W2 = W + 128
+    A = W2 // 128
+    K = code_rows.shape[1] // 128
+    code_tiled = code_rows.reshape(C, K, 128)
+    R = 8 * _next_pow2(A)
     chunk_spec = pl.BlockSpec((1, TILE),
                               lambda c, j, si, sf: (0, si[c, 8] // TILE + j),
                               memory_space=pltpu.VMEM)
-    scratch = [pltpu.VMEM((1, 128), jnp.float32)]
+    scratch = [pltpu.VMEM((R, 128), jnp.float32)]
     if stream:
         code_spec = pl.BlockSpec(memory_space=pl.ANY)
-        scratch += [pltpu.VMEM((1, W2 + 256), jnp.float32),
+        code_arg = code_tiled
+        scratch += [pltpu.VMEM((A + 2, 128), jnp.float32),
                     pltpu.SemaphoreType.DMA]
     else:
-        code_spec = pl.BlockSpec((1, 1, code_rows.shape[1]),
-                                 lambda c, j, si, sf: (c, 0, 0),
+        code_spec = pl.BlockSpec((1, 1, K, 128),
+                                 lambda c, j, si, sf: (c, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
+        code_arg = code_tiled[:, None]
     return pl.pallas_call(
         functools.partial(_kernel, grid_tiles=grid_tiles, W=W, stream=stream),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -282,6 +331,6 @@ def epl_correlate2(si, sf, xr, xi, code_rows,
         ),
         out_shape=jax.ShapeDtypeStruct((C, 1, 128), jnp.float32),
         interpret=interpret,
-    )(si, sf, xr, xi, code_rows[:, None, :])[:, 0, :]
+    )(si, sf, xr, xi, code_arg)[:, 0, :]
 
 epl_correlate = epl_correlate2  # bench A/B alias (tools/bench_kernel_scan.py)

@@ -11,10 +11,13 @@ it is fewer launches: run the WHOLE per-block recurrence inside ONE
 kernel.
 
 Design:
-  * grid = (n_blocks, C), row-major: block b of every channel, then
-    b+1.  Each grid step processes one (block, channel) pair end to end:
-    geometry -> correlate (shared tile_contrib math with the v2 kernel)
-    -> loop filter -> row write -> state write.
+  * grid = (n_blocks, C // KCH), row-major.  Each grid step processes
+    KCH channels' block b end to end: geometry -> correlate (shared
+    tile_contrib math with the v2 kernel) -> loop filter -> row write ->
+    state write.  The KCH channels are INDEPENDENT instruction streams,
+    so the in-kernel scheduler can interleave one channel's MXU passes
+    with another's VPU pipeline — the single-channel body is
+    latency-bound, not throughput-bound.
   * per-channel loop state lives in SMEM scratch for the whole launch
     (initialized from prefetch args at step 0, written to SMEM outputs
     at b == n_blocks-1).  The sequential dependence becomes a chain of
@@ -22,15 +25,17 @@ Design:
   * sample windows are fetched by MANUAL double-buffered DMA from the
     HBM-resident chunk: BlockSpec index maps cannot see carried state
     (ptr is state), so at each step the kernel prefetches the NEXT
-    step's window (its channel's state was finalized C steps earlier —
-    safe for C >= 2; for C == 1 the fetch is issued after the state
-    update instead) while computing on the current one.
+    step's windows (those channels' state was finalized a full block
+    earlier — safe whenever the grid has >= 2 channel groups; with one
+    group the fetch is issued after the state update instead) while
+    computing on the current ones.
   * the loop filter (discriminators, envelopes — ops/discriminators.py
-    semantics) runs on (1, 128) broadcast vectors; the handful of
-    values that must return to the scalar domain (e_fll, e_pll, e_dll,
-    prompt re/im) come back as masked-lane reductions.  Code-phase
-    arithmetic uses the same two-float scalar ops as the engine
-    (utils/twofloat), so trajectories match the scan path.
+    semantics) runs LANE-WISE on the E/P/L vector (polynomial
+    atan/atan2 in ops/kmath — Mosaic has no atan primitive); prompt1
+    history lives as a VMEM lane vector, so only the three loop errors
+    (e_fll, e_pll, e_dll) cross into the scalar domain per block.
+    Code-phase arithmetic uses the same two-float scalar ops as the
+    engine (utils/twofloat), so trajectories match the scan path.
   * rows are emitted as one f32 [B, C, 128] tensor: lanes 0..10 are the
     float row (engine ROW_FIELDS order), lanes 11..13 carry the int row
     (n, carrier_dcyc, code_dcyc — all exact in f32), NaN/0 when the
@@ -53,11 +58,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gnss_dsp_tpu.ops import kmath
 from gnss_dsp_tpu.ops.pallas_track import TILE, LEAD  # noqa: F401
-from gnss_dsp_tpu.ops.pallas_track2 import tile_contrib
+from gnss_dsp_tpu.ops.pallas_track2 import (
+    _next_pow2, finalize_contrib, tile_contrib,
+)
 from gnss_dsp_tpu.utils import twofloat as tf
 
 _NAN = np.float32(np.nan)
 _PI = np.float32(np.pi)
+
+# fused-kernel tile size.  2048 was measured SLOWER (163 vs 155 ms at
+# C=32/NB=900): halving the per-tile fixed costs loses to the doubled
+# a'-factorization operand (A 4->8, R 32->64 at GPS L1 cf), whose
+# masking cost scales with Ap * samples.  The driver sizes extend_code
+# margins and chunk padding for this window (track/driver.build_code_rows)
+FUSED_TILE = 1024
+
+# ablation probe (perf diagnosis only): "notile" skips the correlator
+# tile loop, "nolf" skips the loop filter / discriminators
+import os as _os  # noqa: E402
+_PROBE = _os.environ.get("GNSS_DSP_FUSED_PROBE", "")
 
 # s_i32 lanes (per channel)
 _I_PTR, _I_BLOCK, _I_COFF_P, _I_COFF_DF, _I_STALLED, _I_CHUNKLEN = range(6)
@@ -81,41 +100,48 @@ def _fixed_bits(frac):
 
 def _kernel(s_i32, s_f32, xr_hbm, xi_hbm, code_ref,
             rows_ref, sti_out, stf_out,
-            sm_i, sm_f, buf, sems, acc, *,
-            B, C, n_tiles, W, nchunk, p):
+            sm_i, sm_f, buf, sems, acc, p1v, *,
+            B, C, KCH, n_tiles, W, tsz, nchunk, p):
     """p is the TrackParams NamedTuple (static python values)."""
     b = pl.program_id(0)
-    c = pl.program_id(1)
-    idx = b * C + c
+    g = pl.program_id(1)                     # channel-group index
+    NG = C // KCH
+    idx = b * NG + g
     grid_tiles = n_tiles + 1
-    WIN8 = grid_tiles * (TILE // 128)        # window size in 128-lane rows
+    WIN8 = grid_tiles * (tsz // 128)         # window size in 128-lane rows
     L = float(p.code_length)
     fs = np.float32(p.fs)
     spp = np.float32(p.fs * 0.001 * p.code_period_ms)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    zv = jnp.zeros((1, 128), jnp.float32)
+    m2 = (lane == 2).astype(jnp.float32)
+    m23 = ((lane == 2) | (lane == 3)).astype(jnp.float32)
 
     def window_rows(chan):
         """Aligned window start (in 128-lane rows) for a channel's ptr."""
         ptr = sm_i[chan, _I_PTR]
-        ptr_k = jnp.clip(ptr, 0, nchunk - grid_tiles * TILE)
-        return (ptr_k // TILE) * (TILE // 128)
+        ptr_k = jnp.clip(ptr, 0, nchunk - grid_tiles * tsz)
+        return (ptr_k // tsz) * (tsz // 128)
 
-    def start_fetch(slot, chan):
-        wa8 = window_rows(chan)
-        for plane, src in ((0, xr_hbm), (1, xi_hbm)):
-            pltpu.make_async_copy(
-                src.at[pl.ds(wa8, WIN8), :],
-                buf.at[slot, plane],
-                sems.at[slot, plane],
-            ).start()
+    def start_fetch(slot, group):
+        for k in range(KCH):
+            wa8 = window_rows(group * KCH + k)
+            for plane, src in ((0, xr_hbm), (1, xi_hbm)):
+                pltpu.make_async_copy(
+                    src.at[pl.ds(wa8, WIN8), :],
+                    buf.at[slot, k, plane],
+                    sems.at[slot, k, plane],
+                ).start()
 
     def wait_fetch(slot):
-        for plane, src in ((0, xr_hbm), (1, xi_hbm)):
-            pltpu.make_async_copy(
-                src.at[pl.ds(0, WIN8), :], buf.at[slot, plane],
-                sems.at[slot, plane],
-            ).wait()
+        for k in range(KCH):
+            for plane, src in ((0, xr_hbm), (1, xi_hbm)):
+                pltpu.make_async_copy(
+                    src.at[pl.ds(0, WIN8), :], buf.at[slot, k, plane],
+                    sems.at[slot, k, plane],
+                ).wait()
 
-    # ---- step 0: load every channel's state into SMEM, start own DMA
+    # ---- step 0: load every channel's state into SMEM, start own DMAs
     @pl.when(idx == 0)
     def _init():
         def body(k, _):
@@ -123,217 +149,249 @@ def _kernel(s_i32, s_f32, xr_hbm, xi_hbm, code_ref,
                 sm_i[k, t] = s_i32[k, t]
             for t in range(_NF):
                 sm_f[k, t] = s_f32[k, t]
+            # prompt1 lives as a VMEM lane vector (lanes 2, 3 = re, im)
+            # so the FLL never round-trips it through the scalar domain
+            p1v[k, :] = (jnp.where(lane == 2, s_f32[k, _F_P1RE], 0.0)
+                         + jnp.where(lane == 3, s_f32[k, _F_P1IM], 0.0)
+                         )[0, :]
             return 0
 
         jax.lax.fori_loop(0, C, body, 0)
         start_fetch(0, 0)
 
-    if C >= 2:
-        # prefetch the NEXT step's window: channel (c+1) % C's state was
-        # last written C steps ago, so its ptr is already final
-        @pl.when(idx + 1 < B * C)
+    if NG >= 2:
+        # prefetch the NEXT step's windows: group (g+1) % NG's state was
+        # last written a whole block ago, so its ptrs are already final
+        @pl.when(idx + 1 < B * NG)
         def _prefetch():
-            nxt = c + 1
-            start_fetch((idx + 1) % 2, jnp.where(nxt == C, 0, nxt))
+            nxt = g + 1
+            start_fetch((idx + 1) % 2, jnp.where(nxt == NG, 0, nxt))
 
     wait_fetch(idx % 2)
-    slot = idx % 2
+    slot = idx % 2 if _PROBE != "slot0" else 0
 
-    # ---- geometry (scalar domain; _step_pallas semantics, sub == 1)
-    cp_hi = sm_f[c, _F_CP_HI]
-    cp_lo = sm_f[c, _F_CP_LO]
-    code_f_off = sm_f[c, _F_CFO]
-    carrier_p = sm_f[c, _F_CARR_P]
-    carrier_f = sm_f[c, _F_CARR_F]
-    ratio = sm_f[c, _F_RATIO]
-    ptr = sm_i[c, _I_PTR]
-    block = sm_i[c, _I_BLOCK]
-    coffset_p = sm_i[c, _I_COFF_P]
-    coffset_df = sm_i[c, _I_COFF_DF]
-    stalled = sm_i[c, _I_STALLED]
-    chunk_len = sm_i[c, _I_CHUNKLEN]
+    def process(k, cc):
+        """One channel's whole block: geometry -> tiles -> loop filter ->
+        row -> state.  k is the static lane within the group (buffer /
+        code-row / acc index), cc the channel id (SMEM state index)."""
+        # ---- geometry (scalar domain; _step_pallas semantics, sub == 1)
+        cp_hi = sm_f[cc, _F_CP_HI]
+        cp_lo = sm_f[cc, _F_CP_LO]
+        code_f_off = sm_f[cc, _F_CFO]
+        carrier_p = sm_f[cc, _F_CARR_P]
+        carrier_f = sm_f[cc, _F_CARR_F]
+        ratio = sm_f[cc, _F_RATIO]
+        ptr = sm_i[cc, _I_PTR]
+        block = sm_i[cc, _I_BLOCK]
+        coffset_p = sm_i[cc, _I_COFF_P]
+        coffset_df = sm_i[cc, _I_COFF_DF]
+        stalled = sm_i[cc, _I_STALLED]
+        chunk_len = sm_i[cc, _I_CHUNKLEN]
 
-    code_p = cp_hi + cp_lo
-    n_f0 = jnp.where(
-        code_p < L / 2,
-        spp * (jnp.float32(L) - code_p) / jnp.float32(L),
-        spp * (jnp.float32(2 * L) - code_p) / jnp.float32(L),
-    )
-    n = n_f0.astype(jnp.int32)
-    ok = jnp.logical_and(stalled == 0, ptr + n <= chunk_len)
+        code_p = cp_hi + cp_lo
+        n_f0 = jnp.where(
+            code_p < L / 2,
+            spp * (jnp.float32(L) - code_p) / jnp.float32(L),
+            spp * (jnp.float32(2 * L) - code_p) / jnp.float32(L),
+        )
+        n = n_f0.astype(jnp.int32)
+        ok = jnp.logical_and(stalled == 0, ptr + n <= chunk_len)
 
-    cf_dyn = (code_f_off + carrier_f / ratio) / fs
-    cf = jnp.float32(p.cf_hi) + cf_dyn
+        cf_dyn = (code_f_off + carrier_f / ratio) / fs
+        cf = jnp.float32(p.cf_hi) + cf_dyn
 
-    def vf(lag):
-        v = tf.tf_add_f((cp_hi, cp_lo), jnp.float32(lag))
-        vint = jnp.floor(v[0] + v[1])
-        fr = tf.tf_value(tf.tf_add_f(v, -vint))
-        return vint.astype(jnp.int32), fr
+        def vf(lag):
+            v = tf.tf_add_f((cp_hi, cp_lo), jnp.float32(lag))
+            vint = jnp.floor(v[0] + v[1])
+            fr = tf.tf_value(tf.tf_add_f(v, -vint))
+            return vint.astype(jnp.int32), fr
 
-    vint_e, fr_e = vf(-p.el_spacing)
-    vint_p, fr_p = vf(0.0)
-    vint_l, fr_l = vf(p.el_spacing)
+        vint_e, fr_e = vf(-p.el_spacing)
+        vint_p, fr_p = vf(0.0)
+        vint_l, fr_l = vf(p.el_spacing)
 
-    fdf = -carrier_f / fs
-    carr_df = _fixed_bits(fdf - jnp.floor(fdf))
-    carr_p0 = _fixed_bits(carrier_p - jnp.floor(carrier_p))
+        fdf = -carrier_f / fs
+        carr_df = _fixed_bits(fdf - jnp.floor(fdf))
+        carr_p0 = _fixed_bits(carrier_p - jnp.floor(carrier_p))
 
-    ptr_k = jnp.clip(ptr, 0, nchunk - grid_tiles * TILE)
-    off = ptr_k - (ptr_k // TILE) * TILE
+        ptr_k = jnp.clip(ptr, 0, nchunk - grid_tiles * tsz)
+        off = ptr_k - (ptr_k // tsz) * tsz
 
-    # ---- correlate: unrolled tiles over the prefetched window
-    acc[0, :] = jnp.zeros((128,), jnp.float32)
+        # ---- correlate: unrolled tiles over the prefetched window
+        R = acc.shape[1]
+        acc[k] = jnp.zeros((R, 128), jnp.float32)
 
-    def read_code_window(sa):
-        return code_ref[0, 0:1, pl.ds(pl.multiple_of(sa - 128, 128),
-                                      W + 384)]
+        def read_code_tiles(k0, m):
+            return code_ref[k, 0, pl.ds(k0, m), :]
 
-    for j in range(grid_tiles):
-        i0 = j * TILE - off
+        for j in range(grid_tiles if _PROBE != "notile" else 0):
+            i0 = j * tsz - off
 
-        @pl.when(i0 < n)
-        def _tile(j=j, i0=i0):
-            xr_p = buf[slot, 0, pl.ds(j * (TILE // 128), TILE // 128), :]
-            xi_p = buf[slot, 1, pl.ds(j * (TILE // 128), TILE // 128), :]
-            contrib = tile_contrib(
-                i0, n, coffset_df, coffset_p, carr_df, carr_p0,
-                vint_e, vint_p, vint_l, fr_e, fr_p, fr_l, cf,
-                xr_p, xi_p, W, read_code_window)
-            acc[0, :] = acc[0, :] + contrib[0, :]
+            @pl.when(i0 < n)
+            def _tile(j=j, i0=i0):
+                xr_p = buf[slot, k, 0,
+                           pl.ds(j * (tsz // 128), tsz // 128), :]
+                xi_p = buf[slot, k, 1,
+                           pl.ds(j * (tsz // 128), tsz // 128), :]
+                if _PROBE == "tilemin":
+                    acc[k, 0, :] = acc[k, 0, :] + xr_p[0, :] + xi_p[0, :]
+                else:
+                    prod = tile_contrib(
+                        i0, n, coffset_df, coffset_p, carr_df, carr_p0,
+                        vint_e, vint_p, vint_l, fr_e, fr_p, fr_l, cf,
+                        xr_p, xi_p, W, read_code_tiles, tsz=tsz)
+                    acc[k] = acc[k] + prod
 
-    # ---- loop filter (_post_block semantics, coh_blocks == 1)
-    accv = acc[0:1, :]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        # ---- loop filter (_post_block semantics, coh_blocks == 1).
+        # Discriminator math runs LANE-WISE on the E/P/L vector
+        # (meaningful at lane 2 / lane 0; other lanes carry garbage that
+        # is never read): only the three loop-filter errors cross into
+        # the scalar domain.
+        accv = (acc[k, 0:1, :] if _PROBE == "tilemin"
+                else finalize_contrib(acc[k]))
+        p1row = p1v[pl.ds(cc, 1), :]
+        mode = jnp.where(block >= p.fll_wide_blocks, 1, 0)
+        mode = jnp.where(block >= p.fll_wide_blocks + p.fll_narrow_blocks,
+                         2, mode)
 
-    def pick(k):
-        return jnp.sum(accv * (lane == k).astype(jnp.float32))
+        if _PROBE == "nolf":
+            z = jnp.float32(0.0)
+            e_dll = e_fll = e_pll = z
+            env = zv
+            phase_v = zv
+            rowp = zv
+            p1_new = p1row
+        else:
+            # envelopes: lane j of env holds sqrt(acc[j]^2 + acc[j+1]^2)
+            sq = accv * accv
+            env = jnp.sqrt(sq + pltpu.roll(sq, shift=127, axis=1))
+            # e_dll = (|L| - |E|) / (|L| + |E|) at lane 0 (|L| rolled 4->0)
+            env_l0 = pltpu.roll(env, shift=124, axis=1)
+            den = env_l0 + env
+            dll_v = jnp.where(den == 0.0, 0.0,
+                              (env_l0 - env)
+                              / jnp.where(den == 0.0, 1.0, den))
+            e_dll = jnp.sum(dll_v * (lane == 0).astype(jnp.float32))
 
-    p_re = pick(2)
-    p_im = pick(3)
+            # discriminators, valid at lane 2 (im arrives via a lane roll)
+            def ref_atan_l2(v):
+                im = pltpu.roll(v, shift=127, axis=1)
+                safe = jnp.where(v == 0.0, 1.0, v)
+                t = kmath.atan(im / safe)
+                return jnp.where(v == 0.0, _PI / 2, t)
 
-    # envelopes: lane k of env holds sqrt(acc[k]^2 + acc[k+1]^2)
-    sq = accv * accv
-    env = jnp.sqrt(sq + pltpu.roll(sq, shift=127, axis=1))
-    # e_dll = (|L| - |E|) / (|L| + |E|), 0 when the denominator is 0
-    env_e = jnp.sum(env * (lane == 0).astype(jnp.float32))
-    env_l = jnp.sum(env * (lane == 4).astype(jnp.float32))
-    denom = env_l + env_e
-    e_dll = jnp.where(denom == 0.0, 0.0,
-                      (env_l - env_e) / jnp.where(denom == 0.0, 1.0, denom))
+            d = ref_atan_l2(accv) - ref_atan_l2(p1row)
+            d = jnp.where(d > _PI / 2, _PI - d, d)
+            d = jnp.where(d < -_PI / 2, -_PI - d, d)
+            e_fll = jnp.sum(d * m2)
 
-    # discriminators on broadcast vectors (ops/discriminators.py)
-    p1_re = sm_f[c, _F_P1RE]
-    p1_im = sm_f[c, _F_P1IM]
-    zv = jnp.zeros((1, 128), jnp.float32)
+            im_l2 = pltpu.roll(accv, shift=127, axis=1)
+            flip = jnp.where(accv > 0.0, 1.0, -1.0)
+            pll_v = kmath.atan2(flip * im_l2, flip * accv)
+            e_pll = jnp.sum(pll_v * m2)
 
-    def ref_atan(re_s, im_s):
-        re = zv + re_s
-        im = zv + im_s
-        safe = jnp.where(re == 0.0, 1.0, re)
-        t = kmath.atan(im / safe)
-        return jnp.where(re == 0.0, _PI / 2, t)
+            phase_v = (kmath.atan2(im_l2, accv)
+                       * jnp.float32(180.0 / np.pi))
+            # rows lanes 1, 2 = p_re, p_im (one roll of the masked pair)
+            rowp = pltpu.roll(accv * m23, shift=127, axis=1)
+            mode_is_pll = (zv + mode.astype(jnp.float32)) == 2.0
+            p1_new = jnp.where(mode_is_pll, p1row, accv * m23)
 
-    d = ref_atan(p_re, p_im) - ref_atan(p1_re, p1_im)
-    d = jnp.where(d > _PI / 2, _PI - d, d)
-    d = jnp.where(d < -_PI / 2, -_PI - d, d)
-    e_fll = jnp.sum(d * (lane == 0).astype(jnp.float32))
+        # carrier loop (track-gps-l1.py:50-70)
+        carrier_e1 = sm_f[cc, _F_CE1]
+        fll_k = jnp.where(mode == 0, jnp.float32(p.fll_wide_k),
+                          jnp.float32(p.fll_narrow_k))
+        carrier_f_new = jnp.where(
+            mode == 2,
+            carrier_f + jnp.float32(p.pll_k1) * e_pll
+            + jnp.float32(p.pll_k2) * (e_pll - carrier_e1),
+            carrier_f + fll_k * e_fll,
+        )
+        carrier_e1_new = jnp.where(mode == 2, e_pll, carrier_e1)
 
-    flip = jnp.where((zv + p_re) > 0.0, 1.0, -1.0)
-    pll_v = kmath.atan2(flip * p_im, flip * p_re)
-    e_pll = jnp.sum(pll_v * (lane == 0).astype(jnp.float32))
+        # code loop (:74-86)
+        code_e1 = sm_f[cc, _F_DE1]
+        code_f_off_new = (code_f_off + jnp.float32(p.dll_k1) * e_dll
+                          + jnp.float32(p.dll_k2) * (e_dll - code_e1))
 
-    phase_v = kmath.atan2(zv + p_im, zv + p_re) * jnp.float32(180.0 / np.pi)
+        # carrier phase bookkeeping (:38-42)
+        n_f = n.astype(jnp.float32)
+        carrier_p_up = carrier_p - n_f * carrier_f / fs
+        t = carrier_p_up - jnp.floor(carrier_p_up)
+        carrier_dcyc = jnp.round(carrier_p_up - t).astype(jnp.int32)
+        coffset_p_new = coffset_p + n * coffset_df    # uint32 wrap in int32
 
-    # carrier loop (track-gps-l1.py:50-70)
-    mode = jnp.where(block >= p.fll_wide_blocks, 1, 0)
-    mode = jnp.where(block >= p.fll_wide_blocks + p.fll_narrow_blocks,
-                     2, mode)
-    carrier_e1 = sm_f[c, _F_CE1]
-    fll_k = jnp.where(mode == 0, jnp.float32(p.fll_wide_k),
-                      jnp.float32(p.fll_narrow_k))
-    carrier_f_new = jnp.where(
-        mode == 2,
-        carrier_f + jnp.float32(p.pll_k1) * e_pll
-        + jnp.float32(p.pll_k2) * (e_pll - carrier_e1),
-        carrier_f + fll_k * e_fll,
-    )
-    carrier_e1_new = jnp.where(mode == 2, e_pll, carrier_e1)
-    p1_re_new = jnp.where(mode == 2, p1_re, p_re)
-    p1_im_new = jnp.where(mode == 2, p1_im, p_im)
+        # code phase advance in two-float (:88-92)
+        adv = tf.tf_mul_f((jnp.float32(p.cf_hi), jnp.float32(p.cf_lo)), n_f)
+        adv = tf.tf_add_f(adv, n_f * cf_dyn)
+        cp_new = tf.tf_add((cp_hi, cp_lo), adv)
+        (cp_hi_new, cp_lo_new), wraps = tf.tf_mod(cp_new, L)
+        tc = cp_hi_new + cp_lo_new
+        code_dcyc = (wraps * jnp.float32(L)).astype(jnp.int32)
 
-    # code loop (:74-86)
-    code_e1 = sm_f[c, _F_DE1]
-    code_f_off_new = (code_f_off + jnp.float32(p.dll_k1) * e_dll
-                      + jnp.float32(p.dll_k2) * (e_dll - code_e1))
+        # ---- row (lanes 0..10 = ROW_FIELDS floats, 11..13 = int row)
+        def at(j, v):
+            return jnp.where(lane == j, zv + v, 0.0)
 
-    # carrier phase bookkeeping (:38-42)
-    n_f = n.astype(jnp.float32)
-    carrier_p_up = carrier_p - n_f * carrier_f / fs
-    t = carrier_p_up - jnp.floor(carrier_p_up)
-    carrier_dcyc = jnp.round(carrier_p_up - t).astype(jnp.int32)
-    coffset_p_new = coffset_p + n * coffset_df        # uint32 wrap in int32
+        row = (at(0, block.astype(jnp.float32)) + rowp
+               + at(3, carrier_f_new) + at(4, code_f_off_new)
+               + pltpu.roll(phase_v * m2, shift=3, axis=1)
+               + pltpu.roll(env * (lane == 0).astype(jnp.float32), shift=6,
+                            axis=1)
+               + pltpu.roll(env * (lane == 2).astype(jnp.float32), shift=5,
+                            axis=1)
+               + pltpu.roll(env * (lane == 4).astype(jnp.float32), shift=4,
+                            axis=1)
+               + at(9, tc) + at(10, t)
+               + at(11, n.astype(jnp.float32))
+               + at(12, carrier_dcyc.astype(jnp.float32))
+               + at(13, code_dcyc.astype(jnp.float32)))
+        okv = (zv + ok.astype(jnp.float32)) > 0.0
+        nanrow = jnp.where(lane < 11, _NAN, 0.0)
+        if _PROBE == "norow":
+            rows_ref[0, k, 0, :] = accv[0, :] + n.astype(jnp.float32)
+        else:
+            rows_ref[0, k, 0, :] = jnp.where(okv, row, nanrow)[0, :]
 
-    # code phase advance in two-float (:88-92)
-    adv = tf.tf_mul_f((jnp.float32(p.cf_hi), jnp.float32(p.cf_lo)), n_f)
-    adv = tf.tf_add_f(adv, n_f * cf_dyn)
-    cp_new = tf.tf_add((cp_hi, cp_lo), adv)
-    (cp_hi_new, cp_lo_new), wraps = tf.tf_mod(cp_new, L)
-    tc = cp_hi_new + cp_lo_new
-    code_dcyc = (wraps * jnp.float32(L)).astype(jnp.int32)
+        # ---- state write-back (frozen when !ok; stalled latches !ok)
+        def sel_f(new, old):
+            return jnp.where(ok, new, old)
 
-    # ---- row (lanes 0..10 = ROW_FIELDS floats, 11..13 = int row)
-    def at(k, v):
-        return jnp.where(lane == k, zv + v, 0.0)
+        sm_f[cc, _F_CP_HI] = sel_f(cp_hi_new, cp_hi)
+        sm_f[cc, _F_CP_LO] = sel_f(cp_lo_new, cp_lo)
+        sm_f[cc, _F_CFO] = sel_f(code_f_off_new, code_f_off)
+        sm_f[cc, _F_CARR_P] = sel_f(t, carrier_p)
+        sm_f[cc, _F_CARR_F] = sel_f(carrier_f_new, carrier_f)
+        p1v[cc, :] = jnp.where(okv, p1_new, p1row)[0, :]
+        sm_f[cc, _F_CE1] = sel_f(carrier_e1_new, carrier_e1)
+        sm_f[cc, _F_DE1] = sel_f(e_dll, code_e1)
+        sm_i[cc, _I_PTR] = jnp.where(ok, ptr + n, ptr)
+        sm_i[cc, _I_BLOCK] = jnp.where(ok, block + 1, block)
+        sm_i[cc, _I_COFF_P] = jnp.where(ok, coffset_p_new, coffset_p)
+        sm_i[cc, _I_STALLED] = jnp.logical_not(ok).astype(jnp.int32)
 
-    row = (at(0, block.astype(jnp.float32)) + at(1, p_re) + at(2, p_im)
-           + at(3, carrier_f_new) + at(4, code_f_off_new)
-           + jnp.where(lane == 5, phase_v, 0.0)
-           + pltpu.roll(env * (lane == 0).astype(jnp.float32), shift=6,
-                        axis=1)
-           + pltpu.roll(env * (lane == 2).astype(jnp.float32), shift=5,
-                        axis=1)
-           + pltpu.roll(env * (lane == 4).astype(jnp.float32), shift=4,
-                        axis=1)
-           + at(9, tc) + at(10, t)
-           + at(11, n.astype(jnp.float32))
-           + at(12, carrier_dcyc.astype(jnp.float32))
-           + at(13, code_dcyc.astype(jnp.float32)))
-    okv = (zv + ok.astype(jnp.float32)) > 0.0
-    nanrow = jnp.where(lane < 11, _NAN, 0.0)
-    rows_ref[0, 0, 0, :] = jnp.where(okv, row, nanrow)[0, :]
+    for k in range(KCH):
+        process(k, g * KCH + k)
 
-    # ---- state write-back (frozen when !ok; stalled latches !ok)
-    def sel_f(new, old):
-        return jnp.where(ok, new, old)
-
-    sm_f[c, _F_CP_HI] = sel_f(cp_hi_new, cp_hi)
-    sm_f[c, _F_CP_LO] = sel_f(cp_lo_new, cp_lo)
-    sm_f[c, _F_CFO] = sel_f(code_f_off_new, code_f_off)
-    sm_f[c, _F_CARR_P] = sel_f(t, carrier_p)
-    sm_f[c, _F_CARR_F] = sel_f(carrier_f_new, carrier_f)
-    sm_f[c, _F_P1RE] = sel_f(p1_re_new, p1_re)
-    sm_f[c, _F_P1IM] = sel_f(p1_im_new, p1_im)
-    sm_f[c, _F_CE1] = sel_f(carrier_e1_new, carrier_e1)
-    sm_f[c, _F_DE1] = sel_f(e_dll, code_e1)
-    sm_i[c, _I_PTR] = jnp.where(ok, ptr + n, ptr)
-    sm_i[c, _I_BLOCK] = jnp.where(ok, block + 1, block)
-    sm_i[c, _I_COFF_P] = jnp.where(ok, coffset_p_new, coffset_p)
-    sm_i[c, _I_STALLED] = jnp.logical_not(ok).astype(jnp.int32)
-
-    if C == 1:
-        # single channel: the next step's window depends on THIS step's
-        # ptr update, so the fetch can only be issued now
-        @pl.when(idx + 1 < B * C)
+    if NG == 1:
+        # one channel group: the next step's windows depend on THIS
+        # step's ptr updates, so the fetch can only be issued now
+        @pl.when(idx + 1 < B * NG)
         def _fetch_next():
             start_fetch((idx + 1) % 2, 0)
 
     @pl.when(b == B - 1)
     def _emit_state():
-        for tt in range(_NI):
-            sti_out[c, tt] = sm_i[c, tt]
-        for tt in range(_NF):
-            stf_out[c, tt] = sm_f[c, tt]
+        for k in range(KCH):
+            cc = g * KCH + k
+            # prompt1 returns to the scalar domain only here (once/run)
+            sm_f[cc, _F_P1RE] = jnp.sum(p1v[pl.ds(cc, 1), :] * m2)
+            sm_f[cc, _F_P1IM] = jnp.sum(p1v[pl.ds(cc, 1), :]
+                                        * (lane == 3).astype(jnp.float32))
+            for tt in range(_NI):
+                sti_out[cc, tt] = sm_i[cc, tt]
+            for tt in range(_NF):
+                stf_out[cc, tt] = sm_f[cc, tt]
 
 
 def track_scan_fused(x2, chunk_len, state, params, n_blocks: int,
@@ -345,15 +403,20 @@ def track_scan_fused(x2, chunk_len, state, params, n_blocks: int,
     """
     from gnss_dsp_tpu.ops.pallas_track import env_interpret
 
+    from gnss_dsp_tpu.ops.pallas_track import chip_window
+
     interpret = interpret or env_interpret()
     C = state.ptr.shape[0]
     B = int(n_blocks)
-    n_tiles = int(params.pallas_tiles)
-    W = int(params.pallas_w)
+    tsz = FUSED_TILE
+    n_tiles = -(-int(params.nmax) // tsz)
+    W = chip_window(params.cf_hi, tsz)
     nchunk = x2[0].shape[-1]
-    assert nchunk % TILE == 0, nchunk
+    assert nchunk % 128 == 0, nchunk
     grid_tiles = n_tiles + 1
-    WIN8 = grid_tiles * (TILE // 128)
+    WIN8 = grid_tiles * (tsz // 128)
+    assert nchunk >= grid_tiles * tsz, (nchunk, grid_tiles * tsz)
+    KCH = 4 if C % 4 == 0 else (2 if C % 2 == 0 else 1)
 
     s_i32 = jnp.stack([
         state.ptr.astype(jnp.int32),
@@ -376,21 +439,21 @@ def track_scan_fused(x2, chunk_len, state, params, n_blocks: int,
     xi8 = x2[1].reshape(nchunk // 128, 128)
 
     rows, sti, stf = pl.pallas_call(
-        functools.partial(_kernel, B=B, C=C, n_tiles=n_tiles, W=W,
-                          nchunk=nchunk, p=params),
+        functools.partial(_kernel, B=B, C=C, KCH=KCH, n_tiles=n_tiles,
+                          W=W, tsz=tsz, nchunk=nchunk, p=params),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(B, C),
+            grid=(B, C // KCH),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),   # xr (HBM)
                 pl.BlockSpec(memory_space=pl.ANY),   # xi (HBM)
-                pl.BlockSpec((1, 1, code_rows_ext.shape[1]),
-                             lambda b, c, si, sf: (c, 0, 0),
+                pl.BlockSpec((KCH, 1, code_rows_ext.shape[1] // 128, 128),
+                             lambda b, g, si, sf: (g, 0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, 1, 1, 128),
-                             lambda b, c, si, sf: (b, c, 0, 0),
+                pl.BlockSpec((1, KCH, 1, 128),
+                             lambda b, g, si, sf: (b, g, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -398,9 +461,11 @@ def track_scan_fused(x2, chunk_len, state, params, n_blocks: int,
             scratch_shapes=[
                 pltpu.SMEM((C, _NI), jnp.int32),
                 pltpu.SMEM((C, _NF), jnp.float32),
-                pltpu.VMEM((2, 2, WIN8, 128), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, 2)),
-                pltpu.VMEM((1, 128), jnp.float32),
+                pltpu.VMEM((2, KCH, 2, WIN8, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, KCH, 2)),
+                pltpu.VMEM((KCH, 8 * _next_pow2((W + 128) // 128), 128),
+                           jnp.float32),
+                pltpu.VMEM((C, 128), jnp.float32),
             ],
         ),
         out_shape=[
@@ -409,7 +474,8 @@ def track_scan_fused(x2, chunk_len, state, params, n_blocks: int,
             jax.ShapeDtypeStruct((C, _NF), jnp.float32),
         ],
         interpret=interpret,
-    )(s_i32, s_f32, xr8, xi8, code_rows_ext[:, None, :])
+    )(s_i32, s_f32, xr8, xi8,
+      code_rows_ext.reshape(C, 1, -1, 128))
 
     state_new = state._replace(
         ptr=sti[:, _I_PTR],

@@ -172,6 +172,26 @@ def make_params(sig, fs: float, coffset: float, loop_dwells=(500, 500),
     )
 
 
+def build_code_rows(code_np, params, cf_nom):
+    """Extended per-channel code rows + required chunk padding for the
+    kernels the params select.  The fused whole-loop kernel runs bigger
+    tiles than the v2 scan kernel (pallas_track_fused.FUSED_TILE), so
+    its window and extend_code margins are sized for the larger of the
+    two."""
+    from gnss_dsp_tpu.ops import pallas_track as ptk
+
+    W = params.pallas_w
+    win = (params.pallas_tiles + 1) * ptk.TILE
+    if params.fused_scan:
+        from gnss_dsp_tpu.ops import pallas_track_fused as ptf
+
+        W = max(W, ptk.chip_window(cf_nom, ptf.FUSED_TILE))
+        win = max(win, (-(-params.nmax // ptf.FUSED_TILE) + 1)
+                  * ptf.FUSED_TILE)
+    rows = ptk.extend_code(code_np, W, int(win * cf_nom * 1.05) + 4)
+    return rows, win
+
+
 def track_file(sig, fp, fs: float, coffset: float, channels,
                loop_dwells=(500, 500), chunk_ms: float = 2000.0,
                max_blocks: int | None = None, emit=None,
@@ -268,14 +288,10 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
     code_rows_ext = None
     pad_extra = params.nmax
     if params.use_pallas:
-        from gnss_dsp_tpu.ops import pallas_track as ptk
-
-        cf_nom = sig.chip_rate / fs
-        code_rows_ext = jnp.asarray(ptk.extend_code(
-            code_np, params.pallas_w,
-            int((params.pallas_tiles + 1) * ptk.TILE * cf_nom * 1.05) + 4))
         # +1 tile: ptr lands mid-tile; kernel reads n_tiles+1 whole tiles
-        pad_extra = (params.pallas_tiles + 1) * ptk.TILE
+        rows, pad_extra = build_code_rows(code_np, params,
+                                          sig.chip_rate / fs)
+        code_rows_ext = jnp.asarray(rows)
 
     chunk_samples = int(fs * chunk_ms / 1000.0)
     sub_ms = sig.code_period_ms / sig.sub_blocks

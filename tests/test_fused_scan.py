@@ -36,11 +36,9 @@ def _setup(fs, prns, dops, phases, seconds=0.06, coffset=1250.0):
     assert params.fused_scan and params.pallas_v2
     C = len(prns)
     code_np = sig.code_table(tuple(prns)).astype(np.int8)
-    cf_nom = sig.chip_rate / fs
-    rows_ext = jnp.asarray(ptk.extend_code(
-        code_np, params.pallas_w,
-        int((params.pallas_tiles + 1) * ptk.TILE * cf_nom * 1.05) + 4))
-    pad = (params.pallas_tiles + 1) * ptk.TILE
+    from gnss_dsp_tpu.track.driver import build_code_rows
+    rows_np, pad = build_code_rows(code_np, params, sig.chip_rate / fs)
+    rows_ext = jnp.asarray(rows_np)
     tail = pad + (-(n + pad)) % 1024
     xp = np.concatenate([x, np.zeros(tail, np.complex64)])
     xd = (jnp.asarray(xp.real.astype(np.float32)),
@@ -60,13 +58,13 @@ def _run(params, xd, chunk_len, tab, st, rows_ext, ratios, cdf, nb):
     return st2, np.asarray(rf), np.asarray(ri)
 
 
-@pytest.mark.parametrize("C", [1, 2])
+@pytest.mark.parametrize("C", [1, 2, 4])
 def test_fused_matches_scan(C, monkeypatch):
     monkeypatch.setenv("GNSS_DSP_PALLAS_INTERPRET", "1")
     fs = 2.048e6
-    prns = [7, 13][:C]
-    dops = [900.0, -2200.0][:C]
-    phases = [5.0, 417.25][:C]
+    prns = [7, 13, 21, 30][:C]
+    dops = [900.0, -2200.0, 350.0, -40.0][:C]
+    phases = [5.0, 417.25, 1010.5, 88.0][:C]
     params, xd, n, tab, st, rows_ext, ratios, cdf = _setup(
         fs, prns, dops, phases)
     nb = 40

@@ -47,11 +47,9 @@ x += (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
 params = make_params(sig, fs, coffset=0.0, loop_dwells=(200, 200),
                      use_pallas=True)
 assert params.fused_scan
-cf_nom = sig.chip_rate / fs
-rows_ext = jnp.asarray(ptk.extend_code(
-    code_np, params.pallas_w,
-    int((params.pallas_tiles + 1) * ptk.TILE * cf_nom * 1.05) + 4))
-pad = (params.pallas_tiles + 1) * ptk.TILE
+from gnss_dsp_tpu.track.driver import build_code_rows  # noqa: E402
+rows_np, pad = build_code_rows(code_np, params, sig.chip_rate / fs)
+rows_ext = jnp.asarray(rows_np)
 tail = pad + (-(n + pad)) % 1024
 xp = np.concatenate([x, np.zeros(tail, np.complex64)])
 xd = (jnp.asarray(np.ascontiguousarray(xp.real.astype(np.float32))),
@@ -88,7 +86,8 @@ def run(p, label):
     print(f"{label}: C={C} NB={NB} {best*1e3:8.1f} ms  {rate:7.0f} Msamples/s"
           f"  (compile+1st {compile_s:.1f}s)  max|cf err| {err:.2f} Hz",
           flush=True)
-    assert err < 5.0, cf_tail
+    if not os.environ.get("BENCH_NOASSERT"):
+        assert err < 5.0, cf_tail
     return rate
 
 
