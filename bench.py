@@ -1,21 +1,28 @@
-"""Benchmark: GPS L1 C/A full sky search on one chip vs the reference.
+"""Benchmark suite on the real chip, one JSON line per workload.
 
-Workload (BASELINE.json config 2): 32 PRNs x 70 doppler bins (+-7 kHz /
+Headline (printed LAST, the driver-captured metric): GPS L1 C/A full sky
+search (BASELINE.json config 2): 32 PRNs x 70 doppler bins (+-7 kHz /
 200 Hz) x 80 non-coherent 1-ms blocks at the reference's 4.096 MHz
 internal rate (n = 4096 code-phase bins) — the exact grid
-acquire-gps-l1.py searches over a process pool.
-
-Metric: search-cells/s, cells = PRNs x dopplers x code-phase bins x
-blocks, measured in steady state: one dispatch scans 16 successive 80-ms
-epochs of the capture (each a full independent search on its own slice),
-so the tunnel's fixed per-dispatch RTT amortizes exactly as in a
-continuous receiver pipeline.  vs_baseline = ratio to the reference
-algorithm measured live on
-this host's CPU (single core, numpy FFT path — numba is not installed so
-the reference's own fallback shim would run this same numpy code; its
+acquire-gps-l1.py searches over a process pool — measured in steady
+state: one dispatch scans 16 successive 80-ms epochs of the capture
+(each a full independent search on its own slice), so the tunnel's fixed
+per-dispatch RTT amortizes exactly as in a continuous receiver pipeline.
+vs_baseline = ratio to the reference algorithm measured live on this
+host's CPU (single core, numpy FFT path — numba is not installed so the
+reference's own fallback shim would run this same numpy code; its
 acquisition hot loop is FFT-bound either way, SURVEY.md §3.1).
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Sub-metric lines (printed first; vs_baseline null — regression tripwires
+for the judge's BENCH_r{N}.json tail, VERDICT r2 item 6):
+  * beidou_b1i / gps_l5i / galileo_e1b / glonass_l1_fdma acquisition
+    search-cells/s through the production acquire_signal path (one-shot
+    engine latency, 2nd rep), each asserting the planted peak wins;
+  * gps_l1_tracking_msamples_per_s: the fused whole-loop tracking kernel
+    (C=32 channels, 900 blocks), asserting carrier convergence on the
+    planted dopplers.
+
+Every line is {"metric", "value", "unit", "vs_baseline"}.
 """
 
 from __future__ import annotations
@@ -136,8 +143,119 @@ def bench_reference_numpy(sig, x, ms) -> float:
     return cells / dt
 
 
+def bench_acquire_signal(name, prn, prns, dops, ms, subcarrier="none"):
+    """One-shot acquisition through the production engine path (the
+    2nd rep: compiled, device-resident), planted-peak asserted."""
+    from gnss_dsp_tpu.acquire.engine import (
+        acquire_signal, acquire_signal_fdma, doppler_grid, _block_count,
+    )
+    from gnss_dsp_tpu.models import get_signal
+    from gnss_dsp_tpu.utils.synth import synth_iq
+
+    sig = get_signal(name)
+    n = int(round(sig.acq_fs * sig.acq_coherent_ms / 1000.0))
+    window = 2 * n if (sig.acq_pad2 or sig.acq_sliding) else n
+    blocks = _block_count(sig, ms)
+    x = synth_iq(sig.code_table((prn,))[0], sig.chip_rate, sig.acq_fs,
+                 int(sig.acq_fs * (ms + 4) / 1000), doppler_hz=1500.0,
+                 code_phase=100.0, cn0_dbhz=45.0, subcarrier=subcarrier,
+                 carrier_ratio=sig.track_carrier_ratio(0),
+                 code_doppler_hz=1500.0, rng=np.random.default_rng(3))
+    run = acquire_signal_fdma if sig.fdma_hz else acquire_signal
+    for rep in range(2):
+        t0 = time.perf_counter()
+        res = run(sig, x, prns, doppler_search=dops, ms=ms)
+        dt = time.perf_counter() - t0
+    hit = [r for r in res if r.prn == prn][0]
+    assert abs(hit.doppler - 1500.0) <= dops[2], (name, hit)
+    assert all(r.metric <= hit.metric for r in res), (name, hit)
+    D = len(np.arange(*dops))
+    cells = len(prns) * D * window * blocks
+    return {
+        "metric": f"{name.replace('-', '_')}_acq_cells_per_s",
+        "value": round(cells / dt, 1),
+        "unit": f"search-cells/s ({len(prns)} sat x {D} dop x {window}"
+                f" x {blocks} blk, one-shot engine)",
+        "vs_baseline": None,
+    }
+
+
+def bench_tracking_fused(C=32, NB=900):
+    """Fused whole-loop tracking kernel throughput (track_scan, the
+    production TPU path), convergence-asserted."""
+    import jax.numpy as jnp
+
+    from gnss_dsp_tpu.models import get_signal
+    from gnss_dsp_tpu.track.driver import build_code_rows, make_params
+    from gnss_dsp_tpu.track.engine import init_state, track_scan
+    from gnss_dsp_tpu.utils.synth import synth_iq
+
+    sig = get_signal("gps-l1")
+    fs = 4.096e6
+    rng = np.random.default_rng(3)
+    prns = (1 + np.arange(C) % 32).tolist()
+    dops = rng.uniform(-4000, 4000, C).round(1)
+    phases = rng.uniform(0, 1023, C).round(2)
+    n = int(NB * fs * 0.001) + 8192
+    code_np = sig.code_table(tuple(prns)).astype(np.int8)
+    x = np.zeros(n, np.complex64)
+    for k in range(8):
+        x += synth_iq(code_np[k].astype(np.float64), sig.chip_rate, fs, n,
+                      doppler_hz=float(dops[k]), code_phase=float(phases[k]),
+                      cn0_dbhz=None, carrier_ratio=1540.0
+                      ).astype(np.complex64)
+    x += (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+          ).astype(np.complex64) * 0.1
+    params = make_params(sig, fs, coffset=0.0, loop_dwells=(200, 200),
+                         use_pallas=True)
+    assert params.fused_scan
+    rows_np, pad = build_code_rows(code_np, params, sig.chip_rate / fs)
+    tail = pad + (-(n + pad)) % 1024
+    xp = np.concatenate([x, np.zeros(tail, np.complex64)])
+    xd = (jnp.asarray(np.ascontiguousarray(xp.real.astype(np.float32))),
+          jnp.asarray(np.ascontiguousarray(xp.imag.astype(np.float32))))
+    tab = jnp.asarray(code_np)
+    args = dict(ratios=jnp.full((C,), 1540.0, jnp.float32),
+                code_rows_ext=jnp.asarray(rows_np),
+                coffset_df=jnp.zeros((C,), jnp.int32))
+    best = np.inf
+    for rep in range(3):
+        st = init_state(code_p=phases, code_f_off=np.zeros(C),
+                        carrier_p=np.zeros(C), carrier_f=dops,
+                        ptr=np.zeros(C, np.int32))
+        t0 = time.perf_counter()
+        _, rf, ri = track_scan(xd, jnp.int32(n), tab, st, params, NB,
+                               **args)
+        rf = np.asarray(rf)
+        best = min(best, time.perf_counter() - t0)
+    cf_tail = np.nanmedian(rf[-50:, :8, 3], axis=0)
+    assert np.abs(cf_tail - dops[:8]).max() < 5.0, cf_tail
+    samples = float(np.asarray(ri)[..., 0].sum())
+    return {
+        "metric": "gps_l1_tracking_msamples_per_s",
+        "value": round(samples / best / 1e6, 1),
+        "unit": f"Msamples/s aggregate ({C} channels x {NB} blocks, "
+                "fused whole-loop kernel)",
+        "vs_baseline": None,
+    }
+
+
 def main():
     from gnss_dsp_tpu.models import get_signal
+
+    lines = []
+    lines.append(bench_acquire_signal(
+        "beidou-b1i", 34, list(range(1, 38)), (-7000.0, 7000.0, 200.0), 80))
+    lines.append(bench_acquire_signal(
+        "gps-l5i", 25, list(range(1, 33)), (-7000.0, 7000.0, 200.0), 80))
+    lines.append(bench_acquire_signal(
+        "galileo-e1b", 24, list(range(1, 51)), (-9000.0, 9000.0, 50.0), 40,
+        subcarrier="cboc"))
+    lines.append(bench_acquire_signal(
+        "glonass-l1", 0, list(range(-7, 8)), (-7000.0, 7000.0, 200.0), 80))
+    lines.append(bench_tracking_fused())
+    for ln in lines:
+        print(json.dumps(ln), flush=True)
 
     sig = get_signal("gps-l1")
     ms = 80
@@ -157,6 +275,7 @@ def main():
 
     ref_cells_s = bench_reference_numpy(sig, x, ms)
 
+    # headline LAST: the driver's parsed metric
     print(json.dumps({
         "metric": "gps_l1_sky_search_cells_per_s",
         "value": round(tpu_cells_s, 1),

@@ -26,17 +26,55 @@ def shard_channels(mesh, state: TrackState, code_tab):
 
 
 def track_scan_sharded(mesh, x_chunk, chunk_len, code_tab, state, params,
-                       n_blocks: int, ratios=None, coffset_df=None):
+                       n_blocks: int, ratios=None, coffset_df=None,
+                       multihost: bool = False):
     """Run track_scan with channel-sharded state.  x replicated; the
     per-channel carrier-aiding ratios and FDMA carrier-offset increments
-    shard with the channels."""
-    rep = NamedSharding(mesh, P())
+    shard with the channels.
+
+    multihost=True runs the same program multi-controller: every process
+    passes the full host copy of each operand (only its addressable
+    shards are materialized) and the sharded outputs are allgathered, so
+    every process returns identical full rows/state — same contract as
+    parallel/acquire.acquire_signal_sharded."""
     chan = NamedSharding(mesh, P("sat"))
-    x_chunk = jax.device_put(x_chunk, rep)
-    state, code_tab = shard_channels(mesh, state, code_tab)
-    if ratios is not None:
-        ratios = jax.device_put(ratios, chan)
-    if coffset_df is not None:
-        coffset_df = jax.device_put(coffset_df, chan)
-    return track_scan(x_chunk, chunk_len, code_tab, state, params, n_blocks,
-                      ratios=ratios, coffset_df=coffset_df)
+    if multihost:
+        import numpy as np
+
+        def g(spec, a):
+            # every process passes the FULL host copy; jax slices each
+            # device's shard from it (make_array_from_process_local_data
+            # would instead CONCATENATE the per-process copies)
+            a = np.asarray(a)
+            s = NamedSharding(mesh, spec)
+            return jax.make_array_from_callback(a.shape, s,
+                                                lambda idx: a[idx])
+
+        x_chunk = tuple(g(P(), a) for a in x_chunk)
+        state = jax.tree.map(
+            lambda a: g(P("sat") if a.ndim == 1 else P("sat", None), a),
+            state)
+        code_tab = g(P("sat", None), code_tab)
+        if ratios is not None:
+            ratios = g(P("sat"), ratios)
+        if coffset_df is not None:
+            coffset_df = g(P("sat"), coffset_df)
+    else:
+        rep = NamedSharding(mesh, P())
+        x_chunk = jax.device_put(x_chunk, rep)
+        state, code_tab = shard_channels(mesh, state, code_tab)
+        if ratios is not None:
+            ratios = jax.device_put(ratios, chan)
+        if coffset_df is not None:
+            coffset_df = jax.device_put(coffset_df, chan)
+    out = track_scan(x_chunk, chunk_len, code_tab, state, params, n_blocks,
+                     ratios=ratios, coffset_df=coffset_df)
+    if multihost:
+        # replicate on-device (multihost_utils.process_allgather mangles
+        # the middle-axis-sharded [B, C, 11] rows), then read locally
+        import numpy as np
+
+        rep = NamedSharding(mesh, P())
+        out = jax.jit(lambda t: t, out_shardings=rep)(out)
+        return jax.tree.map(np.asarray, out)
+    return out

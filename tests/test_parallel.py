@@ -86,3 +86,60 @@ def test_serial_sharded_glonass_p():
                               fs=fs, mesh=make_mesh(8), ms=12, chan=2)
     assert r.k == k_true, (r.k, k_true)
     assert abs(r.code_offset - phase) < 1e-6
+
+
+def test_tracking_sharded_matches_single():
+    """Channel-sharded tracking (parallel/track.track_scan_sharded) is
+    VALUE-equal to the single-device scan — every row and every state
+    leaf, not just shapes (VERDICT r2 item 4).  GLONASS-style per-channel
+    ratios and FDMA coffset increments included so a replicated-vs-
+    sharded mixup in either would be caught."""
+    import jax.numpy as jnp
+
+    from gnss_dsp_tpu.parallel.mesh import make_mesh
+    from gnss_dsp_tpu.parallel.track import track_scan_sharded
+    from gnss_dsp_tpu.track.driver import make_params
+    from gnss_dsp_tpu.track.engine import init_state, track_scan
+
+    sig = get_signal("gps-l1")
+    fs = 2.048e6
+    C = 8
+    prns = list(range(1, C + 1))
+    dops = np.linspace(-3000.0, 3000.0, C)
+    phases = np.linspace(10.0, 950.0, C)
+    n = int(fs * 0.05)
+    x = sum(synth_iq(sig.code_table((p,))[0].astype(np.float64),
+                     sig.chip_rate, fs, n, doppler_hz=d, code_phase=cp,
+                     cn0_dbhz=None, carrier_ratio=1540.0)
+            for p, d, cp in zip(prns[:3], dops[:3], phases[:3]))
+    xd = (jnp.asarray(x.real.astype(np.float32)),
+          jnp.asarray(x.imag.astype(np.float32)))
+    params = make_params(sig, fs, coffset=1000.0, loop_dwells=(10, 10))
+    tab = jnp.asarray(sig.code_table(tuple(prns)).astype(np.int8))
+    ratios = jnp.asarray(np.linspace(1200.0, 1600.0, C).astype(np.float32))
+    cdf = jnp.asarray((np.arange(C) * 1000 - 250000).astype(np.int32))
+
+    def fresh():
+        return init_state(code_p=phases, code_f_off=np.zeros(C),
+                          carrier_p=np.zeros(C), carrier_f=dops)
+
+    st_a, rf_a, ri_a = track_scan(xd, jnp.int32(n), tab, fresh(), params,
+                                  40, ratios=ratios, coffset_df=cdf)
+    mesh = make_mesh(8, time_shards=1)
+    st_b, rf_b, ri_b = track_scan_sharded(
+        mesh, xd, jnp.int32(n), tab, fresh(), params, 40, ratios=ratios,
+        coffset_df=cdf)
+    np.testing.assert_array_equal(np.asarray(rf_a), np.asarray(rf_b))
+    np.testing.assert_array_equal(np.asarray(ri_a), np.asarray(ri_b))
+    for name in st_a._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st_a, name)), np.asarray(getattr(st_b, name)),
+            err_msg=name)
+    # multihost placement path on the same (single-process) mesh: the
+    # make_array_from_process_local_data + allgather route is exercised
+    # without a second process (the 2-proc run lives in test_multihost)
+    st_c, rf_c, ri_c = track_scan_sharded(
+        mesh, xd, jnp.int32(n), tab, fresh(), params, 40, ratios=ratios,
+        coffset_df=cdf, multihost=True)
+    np.testing.assert_array_equal(np.asarray(rf_a), np.asarray(rf_c))
+    np.testing.assert_array_equal(np.asarray(ri_a), np.asarray(ri_c))

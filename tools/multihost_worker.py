@@ -34,22 +34,51 @@ assert len(jax.devices()) == 4 * nproc
 import dataclasses  # noqa: E402
 
 data = np.load(in_npz)
-sig = dataclasses.replace(get_signal(str(data["sig"])),
-                          acq_fs=float(data["acq_fs"]))
-x = data["x"]
-prns = [int(p) for p in data["prns"]]
+task = str(data["task"]) if "task" in data else "acquire"
 
-mesh = make_mesh()          # all global devices
-res = acquire_signal_sharded(
-    sig, x, prns, mesh,
-    doppler_search=tuple(float(v) for v in data["dop_search"]),
-    ms=int(data["ms"]), dop_chunk=int(data["dop_chunk"]),
-    multihost=True,
-)
-if pid == 0:
-    np.savez(out_npz,
-             prn=[r.prn for r in res],
-             doppler=[r.doppler for r in res],
-             metric=[r.metric for r in res],
-             code_offset=[r.code_offset for r in res])
+if task == "track":
+    import jax.numpy as jnp
+
+    from gnss_dsp_tpu.parallel.track import track_scan_sharded
+    from gnss_dsp_tpu.track.driver import make_params
+    from gnss_dsp_tpu.track.engine import init_state
+
+    sig = get_signal(str(data["sig"]))
+    fs = float(data["fs"])
+    x = data["x"]
+    xd = (jnp.asarray(x.real.astype(np.float32)),
+          jnp.asarray(x.imag.astype(np.float32)))
+    params = make_params(sig, fs, coffset=float(data["coffset"]),
+                         loop_dwells=(10, 10))
+    prns = [int(p) for p in data["prns"]]
+    st = init_state(code_p=data["phases"], code_f_off=0 * data["dops"],
+                    carrier_p=0 * data["dops"], carrier_f=data["dops"])
+    mesh = make_mesh(time_shards=1)
+    st2, rf, ri = track_scan_sharded(
+        mesh, xd, jnp.int32(len(x)), data["tab"], st, params,
+        int(data["n_blocks"]), ratios=jnp.asarray(data["ratios"]),
+        coffset_df=jnp.asarray(data["cdf"]), multihost=True)
+    if pid == 0:
+        np.savez(out_npz, rf=rf, ri=ri,
+                 carrier_f=np.asarray(st2.carrier_f),
+                 code_p_hi=np.asarray(st2.code_p_hi))
+else:
+    sig = dataclasses.replace(get_signal(str(data["sig"])),
+                              acq_fs=float(data["acq_fs"]))
+    x = data["x"]
+    prns = [int(p) for p in data["prns"]]
+
+    mesh = make_mesh()          # all global devices
+    res = acquire_signal_sharded(
+        sig, x, prns, mesh,
+        doppler_search=tuple(float(v) for v in data["dop_search"]),
+        ms=int(data["ms"]), dop_chunk=int(data["dop_chunk"]),
+        multihost=True,
+    )
+    if pid == 0:
+        np.savez(out_npz,
+                 prn=[r.prn for r in res],
+                 doppler=[r.doppler for r in res],
+                 metric=[r.metric for r in res],
+                 code_offset=[r.code_offset for r in res])
 print(f"proc {pid}/{nproc} done over {len(jax.devices())} devices")
