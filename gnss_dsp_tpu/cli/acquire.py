@@ -23,6 +23,31 @@ from gnss_dsp_tpu.ops import cplx
 from gnss_dsp_tpu.utils import io as uio
 
 
+def read_samples(filename, n: int, cache: dict | None = None):
+    """n complex samples from `filename` — host complex64, or a DEVICE
+    split-complex pair slice when `cache` is given (the batched workload
+    runner uploads each demuxed band ONCE and every script on that band
+    slices it on-device instead of re-reading + re-uploading ~70 MB)."""
+    if cache is not None and filename != "-":
+        ent = cache.get(filename)
+        if ent is None:
+            from gnss_dsp_tpu.ops import cplx
+            from gnss_dsp_tpu.utils import io as _uio
+
+            with open(filename, "rb") as fp:
+                full = _uio.get_samples_complex(
+                    fp, os.path.getsize(filename) // 2)
+            ent = cache[filename] = cplx.from_numpy(full)
+        if ent[0].shape[0] < n:
+            return None
+        return (ent[0][:n], ent[1][:n])
+    fp = open(filename, "rb") if filename != "-" else sys.stdin.buffer
+    x = uio.get_samples_complex(fp, n)
+    if filename != "-":
+        fp.close()
+    return x
+
+
 def _fmt_row(sig, r) -> str:
     if sig.fdma_hz:
         return "chan % 2d doppler % 7.1f metric % 7.1f code_offset %7.2f" % (
@@ -34,7 +59,7 @@ def _fmt_row(sig, r) -> str:
         r.prn, r.doppler, r.metric, r.code_offset)
 
 
-def main(signal: str, argv=None) -> int:
+def main(signal: str, argv=None, x_cache: dict | None = None) -> int:
     if os.environ.get("GNSS_DSP_CPU"):
         # deterministic local compiles (e.g. parity tests); must run
         # before the first backend use
@@ -46,7 +71,7 @@ def main(signal: str, argv=None) -> int:
     enable_compilation_cache()
     sig = get_signal(signal)
     if sig.acq_serial:
-        return _main_serial(sig, argv)
+        return _main_serial(sig, argv, x_cache)
 
     fdma = bool(sig.fdma_hz)
     usage = (f"acquire {signal} [options] input_filename sample_rate "
@@ -76,14 +101,26 @@ def main(signal: str, argv=None) -> int:
     dops = tuple(float(v) for v in options.doppler_search.split(","))
     prns = sig.prns(options.prn)
 
-    fp = open(filename, "rb") if filename != "-" else sys.stdin.buffer
-    x = uio.get_samples_complex(fp, int((ms + 5) * fs / 1000))
+    import time as _time
+
+    timing = os.environ.get("GNSS_DSP_TIMING")
+    t0 = _time.perf_counter()
+    x = read_samples(filename, int((ms + 5) * fs / 1000), x_cache)
     if x is None:
         print("insufficient samples", file=sys.stderr)
         return 1
+    t1 = _time.perf_counter()
 
     xb = prepare_baseband(x, fs, coffset, sig.acq_fs, sig.acq_lowpass_hz,
                           ms + 2)
+    if timing:
+        import numpy as _np
+
+        _np.asarray(xb[0][:1])        # force the front-end readback point
+        t2 = _time.perf_counter()
+        print(f"[timing] {signal}: read+upload {t1-t0:.2f}s "
+              f"frontend {t2-t1:.2f}s", file=sys.stderr)
+        t1 = t2
     if fdma:
         # all channels in one grid program (each channel's band is one
         # doppler chunk of the shared m-sequence search)
@@ -103,10 +140,13 @@ def main(signal: str, argv=None) -> int:
 
     for r in acquire_signal(sig, xb, prns, doppler_search=dops, ms=ms):
         print(_fmt_row(sig, r))
+    if timing:
+        print(f"[timing] {signal}: search {_time.perf_counter()-t1:.2f}s",
+              file=sys.stderr)
     return 0
 
 
-def _main_serial(sig, argv) -> int:
+def _main_serial(sig, argv, x_cache: dict | None = None) -> int:
     fdma = bool(sig.fdma_hz)
     label = "chan" if fdma else "prn"
     parser = optparse.OptionParser(
@@ -123,8 +163,7 @@ def _main_serial(sig, argv) -> int:
     prn, doppler, phase = int(args[3]), float(args[4]), float(args[5])
     ms = options.time
 
-    fp = open(filename, "rb") if filename != "-" else sys.stdin.buffer
-    x = uio.get_samples_complex(fp, int((ms + 2) * fs / 1000))
+    x = read_samples(filename, int((ms + 2) * fs / 1000), x_cache)
     if x is None:
         print("insufficient samples", file=sys.stderr)
         return 1

@@ -35,17 +35,50 @@ def design_lowpass(fs: float, cutoff_hz: float, ntaps: int = 161) -> np.ndarray:
     return h / np.sum(h)
 
 
-@partial(jax.jit, static_argnames=("ntaps",))
-def _fir_causal_2ch(xri, h, ntaps: int):
-    """Causal FIR (lfilter(h, [1], x)) on [2, n] re/im planes via lax.conv."""
-    x = xri[:, None, :]                                   # [N=2, C=1, W]
-    k = h[None, None, ::-1].astype(jnp.float32)           # [O=1, I=1, W]
-    y = jax.lax.conv_general_dilated(
-        x, k, window_strides=(1,), padding=[(ntaps - 1, 0)],
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return y[:, 0, :]
+def _fir_mats(h: np.ndarray) -> np.ndarray:
+    """Banded [A, 2, 128, 128] matmul operands for the causal FIR.
+
+    y[128f + r] = sum_k h[k] x[128f + r - k] decomposes over k = 128a + b
+    into per-frame matmuls: y[f] = sum_a X[f-a] @ L_a + X[f-a-1] @ U_a,
+    L_a[c, r] = h[128a + r - c] (r >= c), U_a[c, r] = h[128a + r - c + 128]
+    (r < c).  A banded-matmul FIR instead of lax.conv because XLA's conv
+    at multi-million spatial width took 37-775 s (!) on the remote
+    compile service, recompiled per process — four [128, 128] matmuls
+    compile in milliseconds and run on the MXU."""
+    ntaps = len(h)
+    A = -(-ntaps // 128)
+    c = np.arange(128)[:, None]
+    r = np.arange(128)[None, :]
+    h64 = np.asarray(h, np.float64)
+    mats = np.zeros((A, 2, 128, 128), np.float32)
+    for a in range(A):
+        kl = 128 * a + r - c
+        ku = kl + 128
+        mats[a, 0] = np.where((r >= c) & (kl >= 0) & (kl < ntaps),
+                              h64[np.clip(kl, 0, ntaps - 1)], 0.0)
+        mats[a, 1] = np.where((r < c) & (ku >= 0) & (ku < ntaps),
+                              h64[np.clip(ku, 0, ntaps - 1)], 0.0)
+    return mats
+
+
+@jax.jit
+def _fir_causal_2ch(xri, mats):
+    """Causal FIR (lfilter(h, [1], x)) on [2, n] planes via banded MXU
+    matmuls (see _fir_mats)."""
+    A = mats.shape[0]
+    n = xri.shape[1]
+    F = -(-n // 128)
+    x = jnp.pad(xri, ((0, 0), (A * 128, F * 128 - n)))
+    X = x.reshape(2, A + F, 128)
+    y = jnp.zeros((2, F, 128), jnp.float32)
+    for a in range(A):
+        y = y + jnp.einsum("pfc,cr->pfr", X[:, A - a: A - a + F],
+                           mats[a, 0],
+                           precision=jax.lax.Precision.HIGHEST)
+        y = y + jnp.einsum("pfc,cr->pfr", X[:, A - a - 1: A - a - 1 + F],
+                           mats[a, 1],
+                           precision=jax.lax.Precision.HIGHEST)
+    return y.reshape(2, F * 128)[:, :n]
 
 
 def filtfilt_fir(h: np.ndarray, x, padlen: int | None = None):
@@ -63,9 +96,9 @@ def filtfilt_fir(h: np.ndarray, x, padlen: int | None = None):
         return jnp.concatenate([left, v, right])
 
     xe = jnp.stack([oddext(xr), oddext(xi)])
-    hj = jnp.asarray(h.astype(np.float32))
-    y = _fir_causal_2ch(xe, hj, ntaps)
-    y = _fir_causal_2ch(y[:, ::-1], hj, ntaps)[:, ::-1]
+    mats = jnp.asarray(_fir_mats(h))
+    y = _fir_causal_2ch(xe, mats)
+    y = _fir_causal_2ch(y[:, ::-1], mats)[:, ::-1]
     return (y[0, padlen : padlen + n], y[1, padlen : padlen + n])
 
 

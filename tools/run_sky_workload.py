@@ -98,13 +98,39 @@ def check_track(dest):
 
 
 def main():
-    data = sys.argv[1] if len(sys.argv) > 1 else "/tmp/gnss-sky-synth.pcap"
-    ms = int(sys.argv[2]) if len(sys.argv) > 2 else 120
+    args = [a for a in sys.argv[1:] if a != "--batched"]
+    batched = "--batched" in sys.argv[1:]
+    data = args[0] if args else "/tmp/gnss-sky-synth.pcap"
+    ms = int(args[1]) if len(args) > 1 else 120
     if not os.path.exists(data):
         subprocess.run([sys.executable,
                         os.path.join(REPO, "tools", "synth_sky.py"),
                         data, str(ms)], check=True,
                        env=dict(os.environ, JAX_PLATFORMS="cpu"))
+    if batched:
+        # single-process runner: same CLI entry points, same argv, same
+        # output files — one JAX runtime, one demux + upload per band
+        # (gnss_dsp_tpu/cli/workload; the cold-path closer)
+        def sh_batched(what, dest):
+            r = subprocess.run(
+                [sys.executable, "-m", "gnss_dsp_tpu.cli.workload",
+                 what, data, dest],
+                cwd=REPO, capture_output=True, text=True, timeout=21600)
+            sys.stderr.write(r.stderr[-4000:])
+            assert r.returncode == 0, (what, r.stderr[-3000:])
+
+        print("== acquire-all (batched single-process) ==")
+        sh_batched("acquire-all", "/tmp/sky-acq-out")
+        f1 = check_acq("/tmp/sky-acq-out")
+        print("== track-all (batched single-process) ==")
+        sh_batched("track-all", "/tmp/sky-track-out")
+        f2 = check_track("/tmp/sky-track-out")
+        if f1 or f2:
+            print("FAILURES:", f1 + f2)
+            sys.exit(1)
+        print(f"ALL {len(ACQ_EXPECT)} acquisitions + {len(TRACK_EXPECT)} "
+              "tracks recovered their golden seeds (batched)")
+        return
     print("== acquire-all.sh ==")
     sh("acquire-all.sh", data, "/tmp/sky-acq-out")
     f1 = check_acq("/tmp/sky-acq-out")
