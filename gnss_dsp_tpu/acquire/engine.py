@@ -128,13 +128,14 @@ def chunk_q_fused(xb_pad, code_f_perm, w, bt: int, plan):
     return pa.corr_surface(F, code_f_perm, n1=n1, n2=n2, bt=bt)
 
 
-def chunk_red_fused(xb_pad, code_f_perm, w, bt: int, plan):
+def chunk_red_fused(xb_pad, code_f_perm, w, bt: int, plan, n_valid: int = 0):
     """(peak [P, DC], natural code idx [P, DC], sum [P, DC]) via the v2
     kernel's in-kernel reduction — the [P, DC, W] surface never leaves
-    VMEM (single-chip fast path)."""
+    VMEM (single-chip fast path).  n_valid masks the padded-window
+    (v2p) lags that are not the reference's circular values."""
     from gnss_dsp_tpu.ops import pallas_acquire2 as pa2
 
-    _, n1, n2 = plan
+    n1, n2 = plan[1], plan[2]
     W = xb_pad[0].shape[-1]
     F = _mix_fft_perm(xb_pad, w, n1)
     P = code_f_perm[0].shape[0]
@@ -143,7 +144,7 @@ def chunk_red_fused(xb_pad, code_f_perm, w, bt: int, plan):
     for i in range(0, P, pc):
         cf = (code_f_perm[0][i:i + pc], code_f_perm[1][i:i + pc])
         outs.append(pa2.corr_surface2(F, cf, n1=n1, n2=n2, bt=bt,
-                                      reduce=True))
+                                      reduce=True, n_valid=n_valid))
     if len(outs) == 1:
         return outs[0]
     return tuple(jnp.concatenate([o[k] for o in outs], axis=0)
@@ -153,14 +154,16 @@ def chunk_red_fused(xb_pad, code_f_perm, w, bt: int, plan):
 @partial(
     jax.jit,
     static_argnames=("n", "window", "blocks", "peak_mean", "dop_chunk",
-                     "precision", "bf16", "fused", "fused_bt", "per_chunk"),
+                     "precision", "bf16", "fused", "fused_bt", "per_chunk",
+                     "n_valid", "data_window"),
 )
 def grid_search(x, code_ffts, dopp_fixed, dopp_valid,
                 n: int, window: int, blocks: int,
                 peak_mean: bool, dop_chunk: int,
                 precision=jax.lax.Precision.HIGHEST, bf16: bool = False,
                 fused: tuple | None = None, fused_bt: int = 0,
-                per_chunk: bool = False):
+                per_chunk: bool = False, n_valid: int = 0,
+                data_window: int = 0):
     """Search the full grid; returns per-PRN (metric, code_idx, dop_idx).
 
     x          : split-complex [>= (blocks-1)*n + window] internal-rate samples
@@ -168,17 +171,28 @@ def grid_search(x, code_ffts, dopp_fixed, dopp_valid,
     dopp_fixed : int32 [Dp] per-sample NCO increments (FDMA offset included),
                  padded to a multiple of dop_chunk
     dopp_valid : bool [Dp] False on padding entries
-    fused      : None (XLA path) or a ("v1"|"v2", n1, n2) kernel plan —
-                 see chunk_q_fused
+    fused      : None (XLA path) or a ("v1"|"v2", n1, n2) /
+                 ("v2p", n1, n2, wfft) kernel plan — see chunk_q_fused;
+                 for v2p, `window` is the padded FFT length and n_valid
+                 the exact-lag count the reduction is masked to
     per_chunk  : return [n_chunks, P] results, one per doppler chunk —
                  used to search all GLONASS FDMA channels in one program
                  (chunk == one channel's doppler band)
+    data_window: for v2p, the true per-block sample extent (2n); windows
+                 are extracted at this length and zero-padded along lanes
+                 to the padded FFT length `window` (reading `window` raw
+                 samples instead would run past the end of x — jnp.take
+                 fills out-of-range gathers with NaN)
     """
     P = code_ffts[0].shape[0]
     Dp = dopp_fixed.shape[0]
     n_chunks = Dp // dop_chunk
     zero_p = jnp.zeros((), jnp.uint32)
-    xb = block_windows(x, n, window, blocks)
+    dw = data_window or window
+    xb = block_windows(x, n, dw, blocks)
+    if dw != window:
+        xb = (jnp.pad(xb[0], ((0, 0), (0, window - dw))),
+              jnp.pad(xb[1], ((0, 0), (0, window - dw))))
     if fused:
         # pad block rows to a multiple of the kernel's block group (zero
         # rows contribute exactly zero to the non-coherent sum)
@@ -196,10 +210,12 @@ def grid_search(x, code_ffts, dopp_fixed, dopp_valid,
         valid = jax.lax.dynamic_slice(dopp_valid, (d0,), (dop_chunk,))
         w = jax.vmap(lambda f: nco.nco_split(f, zero_p, window))(df)  # [DC, W]
 
-        if fused and fused[0] == "v2":
+        if fused and fused[0] in ("v2", "v2p"):
             peak, code_idx, sm = chunk_red_fused(xb, code_ffts, w,
-                                                 fused_bt, fused)
-            metric = peak / (sm / window) if peak_mean else peak
+                                                 fused_bt, fused,
+                                                 n_valid=n_valid)
+            cells = n_valid if n_valid else window
+            metric = peak / (sm / cells) if peak_mean else peak
         else:
             if fused:
                 q = chunk_q_fused(xb, code_ffts, w, fused_bt, fused)
@@ -258,10 +274,16 @@ def doppler_grid(sig, doppler_search, chan: int = 0):
     return dops, fixed
 
 
-def _fused_plan(window: int):
-    """Kernel plan for `window`, preferring the lane-aligned v2 kernel
-    (zero padding, natural-order output); v1 covers the non-128-multiple
-    windows (30690/61380 family).  None -> XLA path."""
+def _fused_plan(window: int, pad2_n: int | None = None):
+    """Kernel plan for `window`, preferring the lane-aligned v2 kernel.
+
+    pad2_n: the valid lag count of a zero-padded-code search (pad2
+    signals' code occupies [0, n)).  When `window` itself has no aligned
+    split (30690/61380 family: no 2^7 factor), the search runs at the
+    smallest padded FFT length that does — plan ("v2p", n1, n2, wfft) —
+    with the in-kernel reduction masked to lags < pad2_n, where the
+    padded circular correlation is exactly the reference's (see
+    pallas_acquire2.plan_padded).  v1 covers the rest; None -> XLA."""
     import os
 
     import jax as _jax
@@ -277,6 +299,14 @@ def _fused_plan(window: int):
         return ("v2", n1, n2)
     except ValueError:
         pass
+    if pad2_n is not None and not os.environ.get("GNSS_DSP_NO_V2P"):
+        try:
+            from gnss_dsp_tpu.ops import pallas_acquire2 as pa2
+
+            n1, n2, wf = pa2.plan_padded(window)
+            return ("v2p", n1, n2, wf)
+        except ValueError:
+            pass
     try:
         from gnss_dsp_tpu.ops import pallas_acquire as pa
 
@@ -287,17 +317,22 @@ def _fused_plan(window: int):
 
 
 def _fused_bt(plan, window: int, blocks: int, n_prn: int) -> int:
-    """Block-group size: v1 keeps the historical VMEM heuristic; v2
-    delegates to the kernel's own VMEM model (and group multiple)."""
-    if plan[0] == "v2":
+    """Block-group size: v1 keeps the historical VMEM heuristic; v2/v2p
+    delegate to the kernel's own VMEM model (and group multiple)."""
+    if plan[0] in ("v2", "v2p"):
         from gnss_dsp_tpu.ops import pallas_acquire2 as pa2
 
-        return pa2.pick_bt(window, blocks)
+        return pa2.pick_bt(_plan_window(plan, window), blocks)
     return max(1, min(blocks, 40, (1 << 20) // (window * 4)))
 
 
+def _plan_window(plan, window: int) -> int:
+    """FFT length the plan runs at (the padded W' for v2p)."""
+    return plan[3] if (plan and plan[0] == "v2p") else window
+
+
 def _prep_fused_codes(cf_host, plan):
-    if plan[0] == "v2":
+    if plan[0] in ("v2", "v2p"):
         from gnss_dsp_tpu.ops import pallas_acquire2 as pa2
 
         return pa2.permute_host2(cf_host, plan[1], plan[2])
@@ -328,13 +363,15 @@ def acquire_signal(sig, x_int, prns, doppler_search=None, ms: int = 80,
     n = int(round(sig.acq_fs * sig.acq_coherent_ms / 1000.0))
     window = 2 * n if (sig.acq_pad2 or sig.acq_sliding) else n
     blocks = _block_count(sig, ms)
-    plan = _fused_plan(window) if engine in ("fused", "auto") else None
+    plan = (_fused_plan(window, pad2_n=(n if sig.acq_pad2 else None))
+            if engine in ("fused", "auto") else None)
+    window_t = _plan_window(plan, window)    # padded FFT length for v2p
     dops, fixed = doppler_grid(sig, doppler_search, chan)
 
     if dop_chunk is None:
         # the chunk materializes [P, DC, B, W] surfaces (x ~4 temps);
         # size DC to keep that under ~1.2 GB of HBM
-        per_dc = len(prns) * blocks * window * 16
+        per_dc = len(prns) * blocks * window_t * 16
         dop_chunk = int(np.clip(1.2e9 // per_dc, 1, len(dops)))
     Dp = -(-len(dops) // dop_chunk) * dop_chunk
     fixed_p = np.zeros(Dp, np.int32)
@@ -342,7 +379,7 @@ def acquire_signal(sig, x_int, prns, doppler_search=None, ms: int = 80,
     valid = np.zeros(Dp, bool)
     valid[: len(fixed)] = True
 
-    cf_host = build_code_ffts(sig, prns, n, window)
+    cf_host = build_code_ffts(sig, prns, n, window_t)
     if plan:
         cf_host = _prep_fused_codes(cf_host, plan)
         fused_bt = _fused_bt(plan, window, blocks, len(prns))
@@ -352,10 +389,12 @@ def acquire_signal(sig, x_int, prns, doppler_search=None, ms: int = 80,
     x = cplx.from_numpy(x_int) if not isinstance(x_int, tuple) else x_int
     metric, code_idx, dop_idx = grid_search(
         x, code_ffts, jnp.asarray(fixed_p), jnp.asarray(valid),
-        n=n, window=window, blocks=blocks,
+        n=n, window=window_t, blocks=blocks,
         peak_mean=(sig.acq_metric == "peak_mean"),
         dop_chunk=dop_chunk, precision=precision, bf16=bf16,
         fused=plan, fused_bt=fused_bt,
+        n_valid=(n if plan and plan[0] == "v2p" else 0),
+        data_window=(window if plan and plan[0] == "v2p" else 0),
     )
     metric = np.asarray(metric)
     code_idx = np.asarray(code_idx)

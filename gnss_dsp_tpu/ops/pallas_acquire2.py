@@ -53,7 +53,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MAX_N1 = 512          # largest stage-B DFT matrix
-MATS_BUDGET = 3.0e6   # bytes of VMEM for the constant DFT matrices
+MATS_BUDGET = 4.0e6   # bytes of VMEM for the constant DFT matrices
+                      # (4 MB admits gps-l2cm's 163840 = 256 x 640 split;
+                      # no smaller window's minimum-cost split changes)
 
 
 def _n1_ok(n1: int) -> bool:
@@ -80,6 +82,29 @@ def plan_aligned(n: int):
     if best is None:
         raise ValueError(f"{n} has no 128-aligned two-level split")
     return best[1], best[2]
+
+
+def plan_padded(window: int, max_pad: int = 16384):
+    """Smallest W' >= window with an aligned split, for the zero-padded
+    route (30690/61380 family: W = 2^2*3^2*5*11*31 has no 128 factor).
+
+    Valid ONLY for pad2-style searches (code in the first half of the
+    window, raw-peak metric).  The kernel's surface is s[j] = sum_m
+    code[m] x*[(m-j) mod W']; at j = (W'-jhat) mod W' with jhat < n_code
+    the reads cover [jhat, jhat+n_code) - entirely inside the 2n real
+    samples, zero wrap - so the cell is the EXACT linear correlation at
+    code lag jhat (the lag the reference reports,
+    acquire-gps-l5i.py:36-39).  The in-kernel reduction searches only
+    those W'-jhat indices and returns argmax directly in jhat space;
+    all other lags read the zero padding mid-window and are masked."""
+    wf = -(-window // 128) * 128
+    while wf <= window + max_pad:
+        try:
+            n1, n2 = plan_aligned(wf)
+            return n1, n2, wf
+        except ValueError:
+            wf += 128
+    raise ValueError(f"no aligned split within {max_pad} of {window}")
 
 
 def pick_g(n1: int) -> int:
@@ -149,7 +174,7 @@ def _kernel(fr_ref, fi_ref, cr_ref, ci_ref,
             w1r_ref, w1s_ref, w1d_ref,
             w2r_ref, w2s_ref, w2d_ref,
             twr_ref, twi_ref,
-            out_ref, acc, *, nb, P, n1, n2, g, bt, reduce):
+            out_ref, acc, *, nb, P, n1, n2, g, bt, reduce, n_valid):
     b = pl.program_id(1)
 
     @pl.when(b == 0)
@@ -219,14 +244,29 @@ def _kernel(fr_ref, fi_ref, cr_ref, ci_ref,
                 a = a + pltpu.roll(a, shift=step, axis=1)
                 step //= 2
             col = jax.lax.broadcasted_iota(jnp.int32, (n2, g * n1), 1)
-            live = col < n1
+            # natural flat index j1*n2 + j2 (row = j2, col = j1)
+            row_i = jax.lax.broadcasted_iota(jnp.int32, (n2, g * n1), 0)
+            nat = col * n2 + row_i
+            # masking via NESTED wheres — i1-vector `&` miscompiles on
+            # this Mosaic toolchain (measured: all-false -> -inf metrics)
+            a_m = jnp.where(col < n1, a, -jnp.inf)
+            a_s = jnp.where(col < n1, a, 0.0)
+            if n_valid:
+                # padded-window route (see plan_padded): surface index
+                # nat = W' - jhat reads the pure-data window [jhat,
+                # jhat+n) and equals the reference's cell at code lag
+                # (n - jhat) mod n; so nat in [W'-n, W') covers every
+                # lag exactly once, as jrep = nat - (W'-n).  Everything
+                # below W'-n reads the mid-window zero padding - masked.
+                jrep = nat - (n1 * n2 - n_valid)
+                a_m = jnp.where(jrep >= 0, a_m, -jnp.inf)
+                a_s = jnp.where(jrep >= 0, a_s, 0.0)
+                nat = jrep
             if reduce:
-                mx = jnp.max(jnp.where(live, a, -jnp.inf))
-                sm = jnp.sum(jnp.where(live, a, 0.0))
-                # natural flat index j1*n2 + j2 (row = j2, col = j1)
-                row_i = jax.lax.broadcasted_iota(jnp.int32, (n2, g * n1), 0)
-                nat = col * n2 + row_i
-                idx = jnp.min(jnp.where(live & (a >= mx), nat, n1 * n2))
+                mx = jnp.max(a_m)
+                sm = jnp.sum(a_s)
+                # -inf cells can never reach mx, so no live-mask needed
+                idx = jnp.min(jnp.where(a_m >= mx, nat, n1 * n2))
                 lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
                 row = jnp.where(lane == 0, mx, 0.0)
                 row = row + jnp.where(lane == 1, idx.astype(jnp.float32), 0.0)
@@ -240,9 +280,11 @@ def _kernel(fr_ref, fi_ref, cr_ref, ci_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n1", "n2", "bt", "reduce", "interpret"))
+                   static_argnames=("n1", "n2", "bt", "reduce", "n_valid",
+                                    "interpret"))
 def corr_surface2(f, code_f, n1: int, n2: int, bt: int,
-                  reduce: bool = False, interpret: bool = False):
+                  reduce: bool = False, n_valid: int = 0,
+                  interpret: bool = False):
     """Non-coherent correlation surfaces for one doppler chunk.
 
     f      : split bf16 [DC, B, W] forward data spectra, permuted order
@@ -282,7 +324,7 @@ def corr_surface2(f, code_f, n1: int, n2: int, bt: int,
 
     out = pl.pallas_call(
         functools.partial(_kernel, nb=nb, P=P, n1=n1, n2=n2, g=g, bt=bt,
-                          reduce=reduce),
+                          reduce=reduce, n_valid=n_valid),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bt, n1, n2), lambda d, b: (d, b, 0, 0),

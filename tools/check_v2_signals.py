@@ -9,7 +9,9 @@ from gnss_dsp_tpu.utils.synth import synth_iq
 
 CASES = [
     ("gps-l1", (5, 12), 40),       # W=4096, peak_mean
-    ("gps-l5i", (3,), 40),          # W=30690 family -> v1
+    ("gps-l5i", (3,), 40),          # W=61380 -> v2p (padded 65536)
+    ("galileo-e6b", (11,), 40),     # W=30690 -> v2p (padded 32768)
+    ("gps-l2cm", (29,), 40),        # W=163840 -> v2 (4 MB mats budget)
     ("beidou-b1i", (34,), 40),      # W=16384
     ("gps-l1cp", (7,), 40),         # 10ms coherent, pad2 family
     ("galileo-e1b", (24,), 40),     # sliding, BOC ref
@@ -20,7 +22,7 @@ for name, prns, ms in CASES:
     fs = sig.acq_fs
     n = int(round(fs * sig.acq_coherent_ms / 1000.0))
     window = 2 * n if (sig.acq_pad2 or sig.acq_sliding) else n
-    plan = eng._fused_plan(window)
+    plan = eng._fused_plan(window, pad2_n=(n if sig.acq_pad2 else None))
     N = (ms + 1) * int(fs // 1000)
     x = np.zeros(N, np.complex64)
     for i, prn in enumerate(prns):
