@@ -217,6 +217,80 @@ def test_corr_surface2_matches_numpy(rng):
     assert int(np.argmax(q2[0, 0])) == (W - shift) % W
 
 
+def test_corr_surface2_padded_plan_reduce(rng):
+    """v2p route (ops/pallas_acquire2.plan_padded): a pad2-style search
+    whose window has no 128-aligned split runs at the padded FFT length
+    W' with the in-kernel reduction masked to the n pure-linear lags.
+    Asserts (a) the masked reduction equals the numpy circular-W'
+    surface restricted to nat in [W'-n, W'), reported in jrep space;
+    (b) those cells are EXACT linear correlations; (c) the winning lag
+    equals the reference's 2n-circular argmax mod n — the cell
+    `acquire-gps-l5i.py:33-37` reports."""
+    import jax.numpy as jnp
+    from gnss_dsp_tpu.ops import pallas_acquire2 as pa2
+    from gnss_dsp_tpu.ops import fft as fftm, cplx
+
+    n = 1000                    # code length in samples (n_valid)
+    dw = 2 * n                  # true data extent per block (pad2)
+    n1, n2, W = pa2.plan_padded(dw)
+    assert W >= dw and n1 * n2 == W and n2 % 128 == 0
+    g = pa2.pick_g(n1)
+    P, DC, B, bt = 2, 1, 2 * g, g
+    cp0 = 317                   # planted code phase (samples)
+
+    code = rng.choice([-1.0, 1.0], size=(P, n))
+    c = np.zeros((P, W), complex)
+    c[:, :n] = code
+    # periodic planted signal (PRN 0 at lag cp0) + noise, 2n real
+    # samples per block, zero-padded along lanes to W'
+    t = np.arange(dw)
+    x = np.zeros((DC, B, W), complex)
+    x[0, :, :dw] = (code[0][(t - cp0) % n]
+                    + 0.1 * (rng.standard_normal((B, dw))
+                             + 1j * rng.standard_normal((B, dw))))
+
+    F_ref = np.fft.fft(x, axis=-1)
+    C_ref = np.fft.fft(c, axis=-1)
+    R = np.fft.ifft(C_ref[:, None, None, :] * np.conj(F_ref)[None], axis=-1)
+    q_full = np.abs(R).sum(axis=2)          # [P, DC, W'] circular oracle
+    q_valid = q_full[..., W - n:]           # jrep space: nat = W'-n+jrep
+
+    Fp = fftm.fft_two_level_perm(cplx.from_numpy(x), bf16=True, n1=n1)
+    F16 = (Fp[0].astype(jnp.bfloat16), Fp[1].astype(jnp.bfloat16))
+    Cp = pa2.permute_host2(C_ref, n1, n2)
+    code_f = (jnp.asarray(Cp.real.astype(np.float32)).astype(jnp.bfloat16),
+              jnp.asarray(Cp.imag.astype(np.float32)).astype(jnp.bfloat16))
+    peak, idx, sm = pa2.corr_surface2(F16, code_f, n1=n1, n2=n2, bt=bt,
+                                      reduce=True, n_valid=n,
+                                      interpret=True)
+    scale = q_valid.max()
+    np.testing.assert_allclose(np.asarray(peak), q_valid.max(-1),
+                               atol=2e-2 * scale)
+    np.testing.assert_array_equal(np.asarray(idx), q_valid.argmax(-1))
+    np.testing.assert_allclose(np.asarray(sm), q_valid.sum(-1),
+                               rtol=3e-2)
+
+    # (b) cell at jrep IS the linear correlation with data [jhat, jhat+n)
+    for jrep in (0, cp0, n - 1):
+        jhat = n - jrep
+        lin = sum(abs(np.vdot(x[0, b, jhat:jhat + n], code[0]))
+                  for b in range(B))
+        np.testing.assert_allclose(q_valid[0, 0, jrep], lin, rtol=1e-9)
+
+    # (c) planted peak: a signal delayed by cp0 samples wins at jrep =
+    # (n - cp0) mod n, the same lag the reference's 2n-circular argmax
+    # reports mod n (acquire-gps-l5i.py:33-37 reports
+    # code_length*idx/n mod code_length)
+    x2n = x[..., :dw]
+    c2n = np.zeros((P, dw), complex)
+    c2n[:, :n] = code
+    R2 = np.fft.ifft(np.fft.fft(c2n)[:, None, None, :]
+                     * np.conj(np.fft.fft(x2n, axis=-1))[None], axis=-1)
+    q2 = np.abs(R2).sum(axis=2)
+    assert (int(np.asarray(idx)[0, 0]) == (n - cp0)
+            == int(q2[0, 0].argmax()) % n)
+
+
 def test_corr_surface_padded_window(rng):
     """Lane-padded planes (W=30690 -> 165x186 split, padded to x256/x384):
     values match numpy and a planted correlation peak lands exactly."""
