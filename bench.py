@@ -18,6 +18,8 @@ for the judge's BENCH_r{N}.json tail, VERDICT r2 item 6):
   * beidou_b1i / gps_l5i / galileo_e1b / glonass_l1_fdma acquisition
     search-cells/s through the production acquire_signal path (one-shot
     engine latency, 2nd rep), each asserting the planted peak wins;
+  * gps_l5i_acq_cells_per_s_sustained: steady-state streaming rate of
+    the v2p padded lane-aligned kernel (the 30.69 MHz family's plan);
   * gps_l1_tracking_msamples_per_s: the fused whole-loop tracking kernel
     (C=32 channels, 900 blocks), asserting carrier convergence on the
     planted dopplers.
@@ -180,6 +182,79 @@ def bench_acquire_signal(name, prn, prns, dops, ms, subcarrier="none"):
     }
 
 
+def bench_acquire_sustained(name, prns, dops_cfg, ms, segments=8):
+    """Sustained streaming rate for a pad2/v2p-family signal: one
+    dispatch scans `segments` independent epochs (lax.scan), one stacked
+    readback — same methodology as bench_tpu, generalized to the padded
+    fused plan (GPS L5 / E5 / E6 / B2a / B2b / B3I / L3OC windows have
+    no native 128-aligned split; ops/pallas_acquire2.plan_padded)."""
+    import jax as _jax
+    import jax.numpy as jnp
+
+    from gnss_dsp_tpu.acquire import engine as eng
+    from gnss_dsp_tpu.models import get_signal
+    from gnss_dsp_tpu.ops import cplx
+
+    sig = get_signal(name)
+    fs = sig.acq_fs
+    n = int(round(fs * sig.acq_coherent_ms / 1000.0))
+    window = 2 * n if (sig.acq_pad2 or sig.acq_sliding) else n
+    blocks = eng._block_count(sig, ms)
+    plan = eng._fused_plan(window, pad2_n=(n if sig.acq_pad2 else None))
+    window_t = eng._plan_window(plan, window)
+    is_v2p = bool(plan and plan[0] == "v2p")
+    dops, fixed = eng.doppler_grid(sig, dops_cfg)
+    D = len(dops)
+
+    cf_host = eng.build_code_ffts(sig, prns, n, window_t)
+    code_ffts = cplx.from_numpy(eng._prep_fused_codes(cf_host, plan)
+                                if plan else cf_host)
+    bt = eng._fused_bt(plan, window, blocks, len(prns)) if plan else 0
+    seg_len = blocks * n
+    x = synth_sky(sig, fs, segments * seg_len + window)
+    xs = cplx.from_numpy(x)
+    fj = jnp.asarray(np.asarray(fixed, np.int32))
+    vj = jnp.ones(D, bool)
+    kw = dict(n=n, window=window_t, blocks=blocks,
+              peak_mean=(sig.acq_metric == "peak_mean"), dop_chunk=D,
+              precision=_jax.lax.Precision.DEFAULT, fused=plan,
+              fused_bt=bt, n_valid=(n if is_v2p else 0),
+              data_window=(window if is_v2p else 0))
+
+    @_jax.jit
+    def run_all(x0, x1, cf0, cf1):
+        def seg_body(_, s):
+            xseg = (_jax.lax.dynamic_slice(x0, (s * seg_len,),
+                                           (seg_len + window,)),
+                    _jax.lax.dynamic_slice(x1, (s * seg_len,),
+                                           (seg_len + window,)))
+            m, ci, di = eng.grid_search(xseg, (cf0, cf1), fj, vj, **kw)
+            return 0, jnp.stack([m, ci.astype(jnp.float32),
+                                 di.astype(jnp.float32)], axis=0)
+        _, out = _jax.lax.scan(seg_body, 0, jnp.arange(segments))
+        return out
+
+    args = (xs[0], xs[1], code_ffts[0], code_ffts[1])
+    out = np.asarray(run_all(*args))
+    for s in range(segments):     # planted PRNs win every epoch
+        top = set(int(p) for p in np.argsort(out[s, 0])[-3:] + 1)
+        assert top == {5, 12, 21}, (name, s, top)
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = np.asarray(run_all(*args))
+        best = min(best, (time.perf_counter() - t0) / segments)
+    cells = len(prns) * D * window * blocks
+    return {
+        "metric": f"{name.replace('-', '_')}_acq_cells_per_s_sustained",
+        "value": round(cells / best, 1),
+        "unit": f"search-cells/s sustained ({len(prns)} sat x {D} dop x "
+                f"{window} x {blocks} blk, {segments} epochs/dispatch, "
+                f"plan={plan[0] if plan else 'xla'})",
+        "vs_baseline": None,
+    }
+
+
 def bench_tracking_fused(C=32, NB=900):
     """Fused whole-loop tracking kernel throughput (track_scan, the
     production TPU path), convergence-asserted."""
@@ -253,6 +328,8 @@ def main():
         subcarrier="cboc"))
     lines.append(bench_acquire_signal(
         "glonass-l1", 0, list(range(-7, 8)), (-7000.0, 7000.0, 200.0), 80))
+    lines.append(bench_acquire_sustained(
+        "gps-l5i", tuple(range(1, 33)), (-7000.0, 7000.0, 200.0), 80))
     lines.append(bench_tracking_fused())
     for ln in lines:
         print(json.dumps(ln), flush=True)
