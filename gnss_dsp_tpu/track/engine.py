@@ -176,7 +176,7 @@ def _mode_of(block, p: TrackParams):
 
 
 def _track_block(x_chunk, chunk_len, code_tab, ratio, st: TrackState,
-                 p: TrackParams, s_ovl=jnp.float32(1.0), coffset_df=None):
+                 p: TrackParams, s_ovl=1.0, coffset_df=None):
     """One tracking sub-block for one channel.  `ratio` is the per-channel
     carrier-aiding divisor and `coffset_df` the per-channel int32 DDS
     increment for the carrier-offset wipeoff (GLONASS FDMA channels each
@@ -298,7 +298,7 @@ def _track_block(x_chunk, chunk_len, code_tab, ratio, st: TrackState,
 
 def _post_block(p_early, p_prompt, p_late, n, sub_j_next, n_full_new, ok,
                 cf_dyn, st: TrackState, p: TrackParams,
-                s_ovl=jnp.float32(1.0), coffset_df=None):
+                s_ovl=1.0, coffset_df=None):
     """Loop-filter updates + bookkeeping after the three correlations
     (track-gps-l1.py:50-92) — shared by the XLA and Pallas paths.
 
