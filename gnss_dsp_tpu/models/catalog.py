@@ -221,7 +221,8 @@ register(Signal(
 ))
 
 # B2ad / B2ap — acquire-beidou-b2a{d,p}.py (30.69 MHz, 1 ms, 2n pad,
-# 12 MHz FIR; quirk: hardcoded 80 blocks, b2ad.py:29), track ratio 115.
+# 12 MHz FIR; quirk: b2ad hardcodes 80 blocks, acquire-beidou-b2ad.py:29
+# — b2ap does NOT), track ratio 115.
 register(Signal(
     name="beidou-b2ad", constellation="beidou",
     chip_rate=beidou.B2_CHIP_RATE, code_length=beidou.B2_CODE_LENGTH,
@@ -239,7 +240,9 @@ register(Signal(
     code_table=beidou.b2ap_table, prn_all=beidou.b2a_prns(),
     prn_default="1-63", secondary=beidou.b2ap_secondary,
     acq_fs=3 * 10.23e6, acq_coherent_ms=1.0, acq_pad2=True,
-    acq_lowpass_hz=12e6, acq_blocks_override=80,
+    # NO 80-block override: only b2ad hardcodes range(80); b2ap sums
+    # range(ms) (acquire-beidou-b2ap.py:29) — caught by the parity matrix
+    acq_lowpass_hz=12e6,
     doppler_default=(-7000.0, 7000.0, 200.0),
     carrier_ratio=115.0, el_spacing=0.5,
 ))
