@@ -93,9 +93,15 @@ def main(signal: str, argv=None, x_cache: dict | None = None) -> int:
                       "correspondingly finer --doppler-search grid "
                       "(framework extension — the reference never "
                       "consumes its secondary codes)")
+    parser.add_option("--mesh", type="int", default=0, metavar="N",
+                      help="shard the search over an N-device jax mesh "
+                      "(framework extension; 0 = single device, -1 = all "
+                      "devices; routes to the parallel/ sharded twins)")
     options, args = parser.parse_args(argv)
     if len(args) != 3:
         parser.error("expected input_filename sample_rate carrier_offset")
+    if options.mesh and options.coherent:
+        parser.error("--mesh and --coherent are mutually exclusive")
     filename, fs, coffset = args[0], float(args[1]), float(args[2])
     ms = options.time
     dops = tuple(float(v) for v in options.doppler_search.split(","))
@@ -121,6 +127,19 @@ def main(signal: str, argv=None, x_cache: dict | None = None) -> int:
         print(f"[timing] {signal}: read+upload {t1-t0:.2f}s "
               f"frontend {t2-t1:.2f}s", file=sys.stderr)
         t1 = t2
+    if options.mesh:
+        from gnss_dsp_tpu.parallel.mesh import make_mesh
+        from gnss_dsp_tpu.parallel.acquire import (
+            acquire_signal_sharded, acquire_signal_fdma_sharded,
+        )
+
+        mesh = make_mesh(None if options.mesh < 0 else options.mesh)
+        run = (acquire_signal_fdma_sharded if fdma
+               else acquire_signal_sharded)
+        for r in run(sig, xb, prns, mesh, doppler_search=dops, ms=ms):
+            print(_fmt_row(sig, r))
+        return 0
+
     if fdma:
         # all channels in one grid program (each channel's band is one
         # doppler chunk of the shared m-sequence search)

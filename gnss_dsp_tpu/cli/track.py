@@ -75,6 +75,10 @@ def main(signal: str, argv=None) -> int:
                            "device chunk (atomic; framework extension — the "
                            "reference can only re-seed argv manually, "
                            "track-gps-l1.py:121,133-135)")
+    parser.add_option("--mesh", type="int", default=0, metavar="N",
+                      help="shard channels over an N-device jax mesh "
+                      "(framework extension; 0 = single device, -1 = all "
+                      "devices; channel count padded up to the mesh)")
     parser.add_option("--resume", metavar="FILE", default=None,
                       help="resume from a --checkpoint file (input must be "
                            "a seekable file, not a pipe); continues "
@@ -127,13 +131,21 @@ def main(signal: str, argv=None) -> int:
     if options.coherent > 1 and sig.sub_blocks != 1:
         parser.error(f"--coherent needs a whole-period signal; "
                      f"{signal} tracks in {sig.sub_blocks} sub-blocks")
+    mesh = None
+    if options.mesh:
+        if options.coherent > 1:
+            parser.error("--mesh and --coherent are mutually exclusive")
+        from gnss_dsp_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(None if options.mesh < 0 else options.mesh,
+                         time_shards=1)
     track_file(sig, fp, fs, coffset, channels, loop_dwells=dwells,
                chunk_ms=options.chunk_ms,
                max_blocks=options.blocks or None, emit=emit,
                recover_after=recover_after,
                checkpoint_path=options.checkpoint,
                resume_from=options.resume,
-               coherent_blocks=options.coherent)
+               coherent_blocks=options.coherent, mesh=mesh)
     if recover_after >= 0:
         # reference dumps the raw complex bins, one "%f %f" row per chip
         # (track-beidou-b2bi.py:181-184)

@@ -198,7 +198,7 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
                recover_after: int | None = None,
                checkpoint_path: str | None = None,
                resume_from: str | None = None,
-               coherent_blocks: int = 1):
+               coherent_blocks: int = 1, mesh=None):
     """Track `channels` (list[TrackChannel]) through the stream `fp`.
 
     emit(channel_index, row_dict) is called once per completed block, in
@@ -225,10 +225,28 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
         # the M-period accumulator indexes overlay chips by whole code
         # periods; sub-divided signals would need sub-aware indexing
         assert sig.sub_blocks == 1, (sig.name, sig.sub_blocks)
+    n_emit = len(channels)
+    if mesh is not None:
+        # channel-sharded scan (parallel/track.track_scan_sharded): pad
+        # the channel list to a multiple of the sat axis with clones of
+        # channel 0 (their rows are computed but never emitted)
+        assert coherent_blocks == 1, "--mesh excludes coherent tracking"
+        nsat = mesh.shape["sat"]
+        pad = (-len(channels)) % nsat
+        if pad:
+            c0 = channels[0]
+            channels = list(channels) + [
+                TrackChannel(prn=c0.prn, doppler=c0.doppler,
+                             code_offset=c0.code_offset,
+                             carrier_phase=c0.carrier_phase,
+                             pll_from_start=c0.pll_from_start)
+                for _ in range(pad)]
     params = make_params(sig, fs, coffset, loop_dwells,
                          pll_from_start=all(c.pll_from_start for c in channels),
                          recover_after=recover_after,
-                         coherent_blocks=coherent_blocks)
+                         coherent_blocks=coherent_blocks,
+                         # the sharded scan carries no Pallas code rows
+                         use_pallas=False if mesh is not None else None)
     overlay = None
     if coherent_blocks > 1:
         rows = []
@@ -327,11 +345,19 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
             jnp.asarray(np.ascontiguousarray(padded.imag)),
         )
         state = state._replace(stalled=jnp.zeros_like(state.stalled))
-        state, rows_f, rows_i = track_scan(
-            x_dev, jnp.int32(len(buf)), code_tab, state, params, nb,
-            ratios=ratios, code_rows_ext=code_rows_ext, overlay=overlay,
-            coffset_df=coffset_df,
-        )
+        if mesh is not None:
+            from gnss_dsp_tpu.parallel.track import track_scan_sharded
+
+            state, rows_f, rows_i = track_scan_sharded(
+                mesh, x_dev, jnp.int32(len(buf)), code_tab, state, params,
+                nb, ratios=ratios, coffset_df=coffset_df,
+            )
+        else:
+            state, rows_f, rows_i = track_scan(
+                x_dev, jnp.int32(len(buf)), code_tab, state, params, nb,
+                ratios=ratios, code_rows_ext=code_rows_ext, overlay=overlay,
+                coffset_df=coffset_df,
+            )
         rows_f = np.asarray(rows_f)
         rows_i = np.asarray(rows_i)
 
@@ -342,6 +368,8 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
                 if n == 0:
                     continue
                 emitted_any = True
+                if k >= n_emit:        # mesh-padding clone of channel 0
+                    continue
                 ch.samp += n
                 ch.carrier_cyc += int(rows_i[b, k, 1])
                 ch.code_cyc += int(rows_i[b, k, 2])
