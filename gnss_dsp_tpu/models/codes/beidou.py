@@ -190,3 +190,11 @@ def b3i_table(prns) -> np.ndarray:
 
 def b3i_prns() -> tuple:
     return tuple(int(p) for p in data.table("bds_b3i_init_prns"))
+
+
+if __name__ == "__main__":
+    # ICD self-check, the reference's standalone-module UX
+    # (gps/ca.py:135-149): python -m gnss_dsp_tpu.models.codes.beidou
+    from gnss_dsp_tpu.models.codes import selftest
+
+    raise SystemExit(selftest.run("beidou"))

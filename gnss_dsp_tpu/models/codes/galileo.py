@@ -128,3 +128,11 @@ def e5bq_secondary(prn: int) -> np.ndarray:
 
 def e6c_secondary(prn: int) -> np.ndarray:
     return _per_prn_secondary("gal_e6c_sec", prn)
+
+
+if __name__ == "__main__":
+    # ICD self-check, the reference's standalone-module UX
+    # (gps/ca.py:135-149): python -m gnss_dsp_tpu.models.codes.galileo
+    from gnss_dsp_tpu.models.codes import selftest
+
+    raise SystemExit(selftest.run("galileo"))

@@ -82,3 +82,11 @@ def l3ocd_table(chans) -> np.ndarray:
 
 def l3ocp_table(chans) -> np.ndarray:
     return lfsr.to_pm1(_l3_bits(chans, 64))
+
+
+if __name__ == "__main__":
+    # ICD self-check, the reference's standalone-module UX
+    # (gps/ca.py:135-149): python -m gnss_dsp_tpu.models.codes.glonass
+    from gnss_dsp_tpu.models.codes import selftest
+
+    raise SystemExit(selftest.run("glonass"))

@@ -81,3 +81,11 @@ def first_10_chips(prn: int) -> int:
     for b in c:
         r = 2 * r + int(b)
     return r
+
+
+if __name__ == "__main__":
+    # ICD self-check, the reference's standalone-module UX
+    # (gps/ca.py:135-149): python -m gnss_dsp_tpu.models.codes.gps_ca
+    from gnss_dsp_tpu.models.codes import selftest
+
+    raise SystemExit(selftest.run("gps_ca"))

@@ -71,3 +71,11 @@ def secondary_bits(prn: int) -> np.ndarray:
 
 def secondary_table(prn: int) -> np.ndarray:
     return lfsr.to_pm1(secondary_bits(prn))
+
+
+if __name__ == "__main__":
+    # ICD self-check, the reference's standalone-module UX
+    # (gps/ca.py:135-149): python -m gnss_dsp_tpu.models.codes.gps_l1c
+    from gnss_dsp_tpu.models.codes import selftest
+
+    raise SystemExit(selftest.run("gps_l1c"))

@@ -65,3 +65,11 @@ def end_state(prn: int, cl: bool = False) -> int:
     for _ in range(n):
         x = (x >> 1) ^ (x & 1) * POLY
     return x
+
+
+if __name__ == "__main__":
+    # ICD self-check, the reference's standalone-module UX
+    # (gps/ca.py:135-149): python -m gnss_dsp_tpu.models.codes.gps_l2c
+    from gnss_dsp_tpu.models.codes import selftest
+
+    raise SystemExit(selftest.run("gps_l2c"))

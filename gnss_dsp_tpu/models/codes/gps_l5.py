@@ -76,3 +76,11 @@ def l5i_table(prns) -> np.ndarray:
 
 def l5q_table(prns) -> np.ndarray:
     return lfsr.to_pm1(_bits("gps_l5q_init", prns))
+
+
+if __name__ == "__main__":
+    # ICD self-check, the reference's standalone-module UX
+    # (gps/ca.py:135-149): python -m gnss_dsp_tpu.models.codes.gps_l5
+    from gnss_dsp_tpu.models.codes import selftest
+
+    raise SystemExit(selftest.run("gps_l5"))

@@ -47,3 +47,11 @@ def x1p_secondary(prn: int) -> np.ndarray:
 
 def x5p_secondary(prn: int) -> np.ndarray:
     return lfsr.to_pm1(data.table("xona_x5p_sec"))
+
+
+if __name__ == "__main__":
+    # ICD self-check, the reference's standalone-module UX
+    # (gps/ca.py:135-149): python -m gnss_dsp_tpu.models.codes.xona
+    from gnss_dsp_tpu.models.codes import selftest
+
+    raise SystemExit(selftest.run("xona"))

@@ -1,9 +1,10 @@
 """Data-fidelity tests: every PRN code generator must reproduce the
 reference's chip sequences exactly.
 
-tests/data/reference_code_hashes.json holds sha256 digests of every
-{0,1} chip sequence the reference implementation generates (produced by
-tools/extract_icd_tables.py).  These are the strongest available golden
+gnss_dsp_tpu/models/codes/data/reference_code_hashes.json holds sha256
+digests of every {0,1} chip sequence the reference implementation
+generates (produced by tools/extract_icd_tables.py; packaged so the
+per-module `python -m ...codes.<module>` ICD self-checks can reach it).  These are the strongest available golden
 vectors: a single flipped chip anywhere in any code fails the test.
 """
 
@@ -20,8 +21,9 @@ from gnss_dsp_tpu.models.codes import (
     beidou, galileo, glonass, gps_ca, gps_l1c, gps_l2c, gps_l5, gps_p, xona,
 )
 
-HASHES = json.load(open(os.path.join(os.path.dirname(__file__), "data",
-                                     "reference_code_hashes.json")))
+from gnss_dsp_tpu.models.codes import selftest
+
+HASHES = selftest.HASHES
 
 
 def bits_of(pm1: np.ndarray) -> np.ndarray:
@@ -198,3 +200,18 @@ def test_xona():
     check_family("xona-x5d", xona.x5d_table)
     assert xona.x1p_secondary(0).shape == (100,)
     assert xona.x5p_secondary(0).shape == (100,)
+
+
+# ---------------- standalone-module ICD self-check UX
+
+def test_module_selftest_entrypoint():
+    """`python -m gnss_dsp_tpu.models.codes.gps_ca` mirrors the
+    reference's per-module `__main__` ICD checks (gps/ca.py:135-149)."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-m", "gnss_dsp_tpu.models.codes.gps_ca"],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-1000:]
+    assert "ALL OK" in out.stdout and "210 PRNs OK" in out.stdout

@@ -8,7 +8,7 @@ This script reads them out of /root/reference (which transcribes those ICD
 tables) and packs them into:
 
   gnss_dsp_tpu/models/codes/data/icd_tables.npz   construction constants
-  tests/data/reference_code_hashes.json            sha256 of every full
+  gnss_dsp_tpu/models/codes/data/reference_code_hashes.json            sha256 of every full
       {0,1} chip sequence the reference generates, per (signal, prn) —
       the cross-implementation golden vectors for tests/test_codes.py.
 
@@ -34,7 +34,7 @@ OUT_NPZ = os.path.join(os.path.dirname(__file__), "..",
                        "gnss_dsp_tpu", "models", "codes", "data",
                        "icd_tables.npz")
 OUT_JSON = os.path.join(os.path.dirname(__file__), "..",
-                        "tests", "data", "reference_code_hashes.json")
+                        "gnss_dsp_tpu", "models", "codes", "data", "reference_code_hashes.json")
 
 tables: dict[str, np.ndarray] = {}
 hashes: dict[str, dict[str, str]] = {}
