@@ -67,9 +67,21 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def plan_rows(sub: str) -> int:
+    """Rows per a'-block in the factorized operand.  BPSK shares ONE main
+    segment across E/P/L (6 live rows: p/eb/lb x re/im), G = 8.  A
+    subcarrier multiplies each lag's samples by a DIFFERENT per-sample
+    factor (the lag's own code phase drives the square-wave sign,
+    e1b.py:48-56), so the main segment cannot be shared: each lag gets
+    its own main rows plus the E/L boundary-correction rows (10 live),
+    G = 16."""
+    return 8 if sub == "none" else 16
+
+
 def tile_contrib(i0, nvalid, dph_a, ph0_a, dph_b, ph0_b,
                  vint_e, vint_p, vint_l, fr_e, fr_p, fr_l, cf,
-                 xr_p, xi_p, W, read_code_tiles, tsz: int = TILE):
+                 xr_p, xi_p, W, read_code_tiles, tsz: int = TILE,
+                 sub: str = "none"):
     """One TILE's factorized E/P/L contribution (the v2 math), as a pure
     function so the per-block fused tracking kernel (pallas_track_fused)
     can share it.  Scalars are traced kernel values; xr_p/xi_p are the

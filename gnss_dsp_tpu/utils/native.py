@@ -33,13 +33,26 @@ def _build() -> bool:
         return False
 
 
+def _fresh() -> bool:
+    """True if the built .so exists and is newer than its source.
+
+    The .so is never committed (a binary built with -march=native on one
+    machine can SIGILL on another); it is rebuilt here on first use, and
+    rebuilt again whenever iqloader.cpp changes.
+    """
+    try:
+        return os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)
+    except OSError:
+        return False
+
+
 def lib():
     """The loaded library, or None if unavailable."""
     global _lib, _tried
     with _lock:
         if _lib is None and not _tried:
             _tried = True
-            if os.path.exists(_LIB) or _build():
+            if _fresh() or _build():
                 try:
                     L = ctypes.CDLL(_LIB)
                     L.iq_deinterleave_f32.argtypes = [
