@@ -26,4 +26,16 @@ test:
 bench:
 	python bench.py
 
-.PHONY: all acquire track test bench
+# End-to-end validation against the REAL sky recording: checksum the
+# capture, run the batched acquire-all + track-all workload, and diff
+# every result against the reference's own golden seeds
+# (track-all-gnss-2017-L1L2L5.sh:9-25).  Network-gated: the pcap download
+# needs egress; without the file the target explains and exits 3.  The
+# synthetic stand-in equivalent (runs anywhere) is `make verify-synth`.
+verify:
+	python tools/run_sky_workload.py --real --batched $(DATA)
+
+verify-synth:
+	python tools/run_sky_workload.py --batched
+
+.PHONY: all acquire track test bench verify verify-synth

@@ -46,6 +46,7 @@ def synth_sky(sig, fs: float, n: int) -> np.ndarray:
         code = sig.code_table((prn,))[0]
         x += synth_iq(code, sig.chip_rate, fs, n, doppler_hz=dop,
                       code_phase=cp, cn0_dbhz=None,
+                      subcarrier=sig.subcarrier,
                       carrier_ratio=sig.carrier_ratio)
     x += (0.5 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
           ).astype(np.complex64)
@@ -255,6 +256,177 @@ def bench_acquire_sustained(name, prns, dops_cfg, ms, segments=8):
     }
 
 
+def bench_acquire_sustained_fdma(name="glonass-l1", segments=8,
+                                 dops_cfg=(-7000.0, 7000.0, 200.0), ms=80):
+    """Sustained one-program GLONASS FDMA search rate: all 15 channels'
+    doppler bands in a single grid (one shared m-sequence code row, each
+    channel's band one doppler chunk — acquire_signal_fdma's layout,
+    acquire-glonass-l1.py:28 semantics), streamed over `segments` epochs
+    per dispatch with one stacked readback."""
+    import jax as _jax
+    import jax.numpy as jnp
+
+    from gnss_dsp_tpu.acquire import engine as eng
+    from gnss_dsp_tpu.models import get_signal
+    from gnss_dsp_tpu.ops import cplx
+    from gnss_dsp_tpu.utils.synth import synth_iq
+
+    sig = get_signal(name)
+    fs = sig.acq_fs
+    chans = list(range(-7, 8))
+    n = int(round(fs * sig.acq_coherent_ms / 1000.0))
+    window = n
+    blocks = eng._block_count(sig, ms)
+    plan = eng._fused_plan(window)
+    dops_all, fixed_all = [], []
+    for chan in chans:
+        dops, fixed = eng.doppler_grid(sig, dops_cfg, chan)
+        dops_all.append(dops)
+        fixed_all.append(fixed)
+    D = len(dops_all[0])
+    fixed_p = jnp.asarray(np.concatenate(fixed_all).astype(np.int32))
+    valid = jnp.ones(len(chans) * D, bool)
+
+    cf_host = eng.build_code_ffts(sig, (0,), n, window)
+    code_ffts = cplx.from_numpy(eng._prep_fused_codes(cf_host, plan))
+    bt = eng._fused_bt(plan, window, blocks, 1)
+    seg_len = blocks * n
+    ntot = segments * seg_len + window
+    rng = np.random.default_rng(7)
+    x = np.zeros(ntot, np.complex64)
+    planted = ((-3, 2400.0, 101.25), (2, -3800.0, 312.0), (6, 900.0, 87.5))
+    code = sig.code_table((0,))[0]
+    for chan, dop, cp in planted:
+        x += synth_iq(code, sig.chip_rate, fs, ntot,
+                      doppler_hz=sig.fdma_hz * chan + dop, code_phase=cp,
+                      cn0_dbhz=None, code_doppler_hz=dop,
+                      carrier_ratio=sig.carrier_ratio)
+    x += (0.5 * (rng.standard_normal(ntot) + 1j * rng.standard_normal(ntot))
+          ).astype(np.complex64)
+    xs = cplx.from_numpy(x)
+    kw = dict(n=n, window=window, blocks=blocks,
+              peak_mean=(sig.acq_metric == "peak_mean"), dop_chunk=D,
+              precision=_jax.lax.Precision.DEFAULT, fused=plan,
+              fused_bt=bt, per_chunk=True)
+
+    @_jax.jit
+    def run_all(x0, x1, cf0, cf1):
+        def seg_body(_, s):
+            xseg = (_jax.lax.dynamic_slice(x0, (s * seg_len,),
+                                           (seg_len + window,)),
+                    _jax.lax.dynamic_slice(x1, (s * seg_len,),
+                                           (seg_len + window,)))
+            m, ci, di = eng.grid_search(xseg, (cf0, cf1), fixed_p, valid,
+                                        **kw)
+            return 0, jnp.stack([m[:, 0], ci[:, 0].astype(jnp.float32),
+                                 di[:, 0].astype(jnp.float32)], axis=0)
+        _, out = _jax.lax.scan(seg_body, 0, jnp.arange(segments))
+        return out
+
+    args = (xs[0], xs[1], code_ffts[0], code_ffts[1])
+    out = np.asarray(run_all(*args))
+    want = {chans.index(c) for c, _, _ in planted}
+    for s in range(segments):     # planted channels win every epoch
+        top = set(int(i) for i in np.argsort(out[s, 0])[-3:])
+        assert top == want, (s, top, want)
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = np.asarray(run_all(*args))
+        best = min(best, (time.perf_counter() - t0) / segments)
+    cells = len(chans) * D * window * blocks
+    return {
+        "metric": "glonass_l1_fdma_acq_cells_per_s_sustained",
+        "value": round(cells / best, 1),
+        "unit": f"search-cells/s sustained ({len(chans)} chan x {D} dop x "
+                f"{window} x {blocks} blk, one program, {segments} "
+                "epochs/dispatch)",
+        "vs_baseline": None,
+    }
+
+
+# Fair single-core CPU baselines measured on this host (BASELINE.md
+# "Measured" section): the reference's numpy-FFT acquisition hot loop
+# (numba is not installable here; the loop is FFT-bound either way) and
+# the vectorized-numpy stand-in for its mix_/correlate tracking kernels
+# (tools/baseline_track_numpy.py).  Used as the vs_baseline denominator
+# for every sub-metric; the headline re-measures its own denominator
+# live each run.
+_CPU_ACQ_CELLS_S = 7.9e6
+_CPU_TRACK_SAMPLES_S = 16.5e6
+
+
+def bench_acquire_coherent(name="gps-l5i", m_coh=None,
+                           dops_cfg=(-7000.0, 7000.0, 200.0)):
+    """Extended-coherent acquisition cost (the sensitivity feature,
+    acquire/coherent.py): full 32-PRN grid with NH-overlay wipeoff over
+    all alignments, planted-peak asserted (the hardware-validated L5I
+    NH10 case).  One-shot engine latency, 2nd rep."""
+    from gnss_dsp_tpu.acquire.coherent import acquire_signal_coherent
+    from gnss_dsp_tpu.models import get_signal
+    from gnss_dsp_tpu.utils.synth import synth_iq
+
+    sig = get_signal(name)
+    sec = np.asarray(sig.secondary(1), np.float64)
+    m = m_coh or len(sec)
+    ms = int(2 * m * sig.acq_coherent_ms)
+    n_samp = int(sig.acq_fs * (ms + 4) / 1000)
+    x = synth_iq(sig.code_table((25,))[0], sig.chip_rate, sig.acq_fs,
+                 n_samp, doppler_hz=1500.0, code_phase=100.0,
+                 cn0_dbhz=38.0, carrier_ratio=sig.track_carrier_ratio(0),
+                 code_doppler_hz=1500.0, data_bits=sec,
+                 rng=np.random.default_rng(3))
+    prns = list(range(1, 33))
+    for rep in range(2):
+        t0 = time.perf_counter()
+        res = acquire_signal_coherent(sig, x, prns, dops_cfg, m_coh=m,
+                                      ms=ms)
+        dt = time.perf_counter() - t0
+    hit = [r for r in res if r.prn == 25][0]
+    assert abs(hit.doppler - 1500.0) <= dops_cfg[2], (name, hit)
+    assert all(r.metric <= hit.metric for r in res), (name, hit)
+    n = int(round(sig.acq_fs * sig.acq_coherent_ms / 1000.0))
+    D = len(np.arange(*dops_cfg))
+    blocks = int(ms / sig.acq_coherent_ms)
+    cells = len(prns) * D * n * blocks
+    return {
+        "metric": f"{name.replace('-', '_')}_coherent_acq_cells_per_s",
+        "value": round(cells / dt, 1),
+        "unit": f"search-cells/s ({len(prns)} sat x {D} dop x {n} x "
+                f"{blocks} blk, {m}-period coherent with {len(sec)}-chip "
+                "overlay wipeoff over all alignments, one-shot engine)",
+        "vs_baseline": round(cells / dt / _CPU_ACQ_CELLS_S, 2),
+    }
+
+
+def bench_tracking_family(name, NB=900):
+    """Per-family fused tracking rate (tools/bench_track_families):
+    subcarrier, sub-block and streamed-long-code engine shapes each get
+    a sustained number (round-4 VERDICT items 2/3/7)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from bench_track_families import FAMILIES, bench_family
+
+    rate = bench_family(name, NB=NB, path="fused", repeats=2,
+                        quiet=True)["fused"]
+    from gnss_dsp_tpu.models import get_signal
+
+    sig = get_signal(name)
+    fs, cmax = FAMILIES[name]
+    shape = (f"{sig.subcarrier} sub={sig.sub_blocks}"
+             + (" streamed" if sig.code_length > 100_000 else ""))
+    return {
+        "metric": f"{name.replace('-', '_')}_tracking_msamples_per_s",
+        "value": round(rate, 1),
+        "unit": f"Msamples/s aggregate ({cmax} ch x {NB} sub-blocks, "
+                f"fused whole-loop kernel, {shape})",
+        "vs_baseline": round(rate * 1e6 / _CPU_TRACK_SAMPLES_S, 2),
+    }
+
+
 def bench_tracking_fused(C=32, NB=900):
     """Fused whole-loop tracking kernel throughput (track_scan, the
     production TPU path), convergence-asserted."""
@@ -315,30 +487,58 @@ def bench_tracking_fused(C=32, NB=900):
     }
 
 
+def _fill_acq_baseline(row):
+    row["vs_baseline"] = round(row["value"] / _CPU_ACQ_CELLS_S, 2)
+    return row
+
+
+def _fill_track_baseline(row):
+    row["vs_baseline"] = round(row["value"] * 1e6 / _CPU_TRACK_SAMPLES_S, 2)
+    return row
+
+
 def main():
     from gnss_dsp_tpu.models import get_signal
 
     lines = []
-    lines.append(bench_acquire_signal(
-        "beidou-b1i", 34, list(range(1, 38)), (-7000.0, 7000.0, 200.0), 80))
-    lines.append(bench_acquire_signal(
-        "gps-l5i", 25, list(range(1, 33)), (-7000.0, 7000.0, 200.0), 80))
-    lines.append(bench_acquire_signal(
+    # --- one-shot engine rows (regression tripwires, full CLI path cost)
+    lines.append(_fill_acq_baseline(bench_acquire_signal(
+        "beidou-b1i", 34, list(range(1, 38)), (-7000.0, 7000.0, 200.0), 80)))
+    lines.append(_fill_acq_baseline(bench_acquire_signal(
+        "gps-l5i", 25, list(range(1, 33)), (-7000.0, 7000.0, 200.0), 80)))
+    lines.append(_fill_acq_baseline(bench_acquire_signal(
         "galileo-e1b", 24, list(range(1, 51)), (-9000.0, 9000.0, 50.0), 40,
-        subcarrier="cboc"))
-    lines.append(bench_acquire_signal(
-        "glonass-l1", 0, list(range(-7, 8)), (-7000.0, 7000.0, 200.0), 80))
-    lines.append(bench_acquire_sustained(
-        "gps-l5i", tuple(range(1, 33)), (-7000.0, 7000.0, 200.0), 80))
-    lines.append(bench_tracking_fused())
+        subcarrier="cboc")))
+    lines.append(_fill_acq_baseline(bench_acquire_signal(
+        "glonass-l1", 0, list(range(-7, 8)), (-7000.0, 7000.0, 200.0), 80)))
+    for ln in lines:
+        print(json.dumps(ln), flush=True)
+    # --- sustained acquisition, one row per distinct engine shape:
+    # v2 aligned (B1I), v2p padded (L5I), sliding 2n tall-doppler (E1B),
+    # FDMA one-program (GLONASS), extended-coherent (L5I NH10)
+    for row in (
+        bench_acquire_sustained(
+            "beidou-b1i", tuple(range(1, 33)), (-7000.0, 7000.0, 200.0), 80),
+        bench_acquire_sustained(
+            "gps-l5i", tuple(range(1, 33)), (-7000.0, 7000.0, 200.0), 80),
+        bench_acquire_sustained(
+            "galileo-e1b", tuple(range(1, 51)), (-9000.0, 9000.0, 50.0), 40),
+        bench_acquire_sustained_fdma(),
+        bench_acquire_coherent("gps-l5i"),
+    ):
+        print(json.dumps(_fill_acq_baseline(row)), flush=True)
+    # --- tracking: the BPSK anchor + one row per widened engine shape
+    print(json.dumps(_fill_track_baseline(bench_tracking_fused())),
+          flush=True)
     # sustained variant: 4x the stream per dispatch amortizes the
     # tunnel's flat ~30 ms readback exactly as a continuous receiver
     # does — this is the honest per-chip rate (BASELINE.md timing note)
     sus = bench_tracking_fused(C=32, NB=3600)
     sus["metric"] = "gps_l1_tracking_msamples_per_s_sustained"
-    lines.append(sus)
-    for ln in lines:
-        print(json.dumps(ln), flush=True)
+    print(json.dumps(_fill_track_baseline(sus)), flush=True)
+    for fam in ("beidou-b1i", "galileo-e1b", "gps-l1cp", "gps-l2cm",
+                "gps-l2cl", "glonass-l1-p"):
+        print(json.dumps(bench_tracking_family(fam)), flush=True)
 
     sig = get_signal("gps-l1")
     ms = 80

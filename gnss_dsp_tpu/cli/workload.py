@@ -131,16 +131,72 @@ def run_acquire_all(data: str, dest: str) -> None:
           file=sys.stderr)
 
 
+class _ThreadStdout:
+    """sys.stdout proxy dispatching writes per thread: lets N script
+    mains (which print() their rows) run concurrently in one process
+    with each thread's rows captured separately."""
+
+    def __init__(self, default):
+        import threading
+
+        self._default = default
+        self._threading = threading
+        self.map = {}
+
+    def register(self, buf):
+        self.map[self._threading.get_ident()] = buf
+
+    def write(self, s):
+        return self.map.get(self._threading.get_ident(),
+                            self._default).write(s)
+
+    def flush(self):
+        b = self.map.get(self._threading.get_ident(), self._default)
+        if hasattr(b, "flush"):
+            b.flush()
+
+
 def run_track_all(data: str, dest: str) -> None:
     from gnss_dsp_tpu.cli.track import main as track_main
 
     os.makedirs(dest, exist_ok=True)
     bands = demux_bands(data, dest)
     t0 = time.perf_counter()
-    for band, signal, coffset, prn, dop, phase, outfile in TRACK_ALL:
-        _run_to_file(track_main, signal,
-                     [bands[band], _FS, coffset, prn, dop, phase],
-                     os.path.join(dest, outfile))
+    if os.environ.get("GNSS_DSP_WORKLOAD_SERIAL"):
+        for band, signal, coffset, prn, dop, phase, outfile in TRACK_ALL:
+            _run_to_file(track_main, signal,
+                         [bands[band], _FS, coffset, prn, dop, phase],
+                         os.path.join(dest, outfile))
+    else:
+        # the 11 tracks are independent programs on independent streams;
+        # running them on a thread pool overlaps their XLA compiles
+        # (the wall-clock cost: ~4 s of device work vs minutes of
+        # per-family compile when serialized) while the device itself
+        # serializes the actual scan dispatches
+        from concurrent.futures import ThreadPoolExecutor
+
+        proxy = _ThreadStdout(sys.stdout)
+        real = sys.stdout
+        sys.stdout = proxy
+
+        def one(row):
+            band, signal, coffset, prn, dop, phase, outfile = row
+            t1 = time.perf_counter()
+            buf = _io.StringIO()
+            proxy.register(buf)
+            rc = track_main(signal,
+                            [bands[band], _FS, coffset, prn, dop, phase])
+            assert rc in (0, None), (signal, rc)
+            with open(os.path.join(dest, outfile), "w") as f:
+                f.write(buf.getvalue())
+            print(f"[workload] {outfile:34s} "
+                  f"{time.perf_counter() - t1:6.1f} s", file=sys.stderr)
+
+        try:
+            with ThreadPoolExecutor(max_workers=len(TRACK_ALL)) as ex:
+                list(ex.map(one, TRACK_ALL))
+        finally:
+            sys.stdout = real
     print(f"[workload] track-all: {len(TRACK_ALL)} scripts in "
           f"{time.perf_counter() - t0:.1f} s (one process)",
           file=sys.stderr)

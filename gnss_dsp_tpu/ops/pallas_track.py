@@ -332,8 +332,9 @@ def extend_code(code_pm1: np.ndarray, W: int, max_advance_chips: int) -> np.ndar
     the row.  ext[LEAD + 1 + k] = code[k mod L] for k >= -1-LEAD."""
     c = np.asarray(code_pm1, np.float32)
     L = c.shape[1]
-    # W+128 one-hot columns, +128 roll guard on each side
-    margin = int(max_advance_chips) + W + 3 * 128 + 2
+    # W+128 one-hot columns, +128 roll guard on each side, +8*128 for the
+    # streamed kernels' 8-sublane-row DMA size round-up
+    margin = int(max_advance_chips) + W + 3 * 128 + 2 + 8 * 128
     lead_reps = -(-(LEAD + 1) // L)
     reps = -(-margin // L) + 1
     ext = np.concatenate([c] * (lead_reps + reps), axis=1)

@@ -91,11 +91,14 @@ def tile_contrib(i0, nvalid, dph_a, ph0_a, dph_b, ph0_b,
     sublane reads, so the window needs no lane-slice/reshape relayouts.
     Returns the [R, 128] prod tile (see finalize_contrib).  tsz is the
     tile's sample count (the fused kernel runs bigger tiles than the
-    BlockSpec-fed v2 kernel's TILE)."""
+    BlockSpec-fed v2 kernel's TILE).  sub selects the subcarrier family
+    (none|boc11|cboc|tmboc|rz_even|rz_odd): non-BPSK runs the 16-row
+    per-lag plan (see plan_rows)."""
     W2 = W + 128
     A = W2 // 128
     Ap = _next_pow2(A)
-    R = 8 * Ap
+    G = plan_rows(sub)
+    R = G * Ap
 
     # ---- per-sample pipeline on the PACKED (8, 128) layout: 1024
     # samples = ONE vreg per quantity, so the DDS phase ints and the
@@ -140,15 +143,44 @@ def tile_contrib(i0, nvalid, dph_a, ph0_a, dph_b, ph0_b,
     e1 = e1_p.reshape(1, tsz)
     l1 = l1_p.reshape(1, tsz)
 
-    # ---- the 8 group planes p_re, p_im, e_re, e_im, l_re, l_im, 0, 0
-    g8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-    par = (g8 & 1).astype(jnp.float32)          # 0 = re row, 1 = im row
-    q1 = jnp.logical_and(g8 >= 2, g8 < 4).astype(jnp.float32)   # early
-    q2 = jnp.logical_and(g8 >= 4, g8 < 6).astype(jnp.float32)   # late
-    q0 = (g8 < 2).astype(jnp.float32)                           # prompt
-    factor = q0 + q1 * e1 + q2 * l1
-    planes = ((m_re * (1.0 - par) + m_im * par) * factor
-              ).astype(jnp.bfloat16)
+    if sub == "none":
+        # ---- the 8 group planes p_re, p_im, e_re, e_im, l_re, l_im, 0, 0
+        g8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+        par = (g8 & 1).astype(jnp.float32)      # 0 = re row, 1 = im row
+        q1 = jnp.logical_and(g8 >= 2, g8 < 4).astype(jnp.float32)   # early
+        q2 = jnp.logical_and(g8 >= 4, g8 < 6).astype(jnp.float32)   # late
+        q0 = (g8 < 2).astype(jnp.float32)                           # prompt
+        factor = q0 + q1 * e1 + q2 * l1
+        planes = ((m_re * (1.0 - par) + m_im * par) * factor
+                  ).astype(jnp.bfloat16)
+    else:
+        from gnss_dsp_tpu.ops.pallas_track import _subcarrier_factor
+
+        # per-lag subcarrier factors on the packed (su, 128) layout (the
+        # square-wave phase rides the lag's own fractional code phase;
+        # TMBOC's slot needs the absolute chip index vint + rel,
+        # gps/l1cp.py:210-228)
+        f_p = _subcarrier_factor(sub, fr_p + i_f_p * cf, rel_p_pk,
+                                 vint_p).reshape(1, tsz)
+        f_e = _subcarrier_factor(sub, fr_e + i_f_p * cf, rel_e_pk,
+                                 vint_e).reshape(1, tsz)
+        f_l = _subcarrier_factor(sub, fr_l + i_f_p * cf, rel_l_pk,
+                                 vint_l).reshape(1, tsz)
+        # ---- 16 group planes: (p, e-main, e-bnd, l-main, l-bnd) x re/im
+        # in rows 0..9; rows 10..15 are pad.  Each lag's samples carry its
+        # own subcarrier factor, boundary rows additionally the d-flag.
+        g16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+        gg = g16 >> 1                           # group id 0..7
+        par = (g16 & 1).astype(jnp.float32)     # 0 = re row, 1 = im row
+        is_p = (gg == 0).astype(jnp.float32)
+        is_em = (gg == 1).astype(jnp.float32)
+        is_eb = (gg == 2).astype(jnp.float32)
+        is_lm = (gg == 3).astype(jnp.float32)
+        is_lb = (gg == 4).astype(jnp.float32)
+        factor = (is_p * f_p + (is_em + is_eb * e1) * f_e
+                  + (is_lm + is_lb * l1) * f_l)
+        planes = ((m_re * (1.0 - par) + m_im * par) * factor
+                  ).astype(jnp.bfloat16)
 
     # ---- prompt window base / alignment (identical arithmetic to v1)
     i_start = jnp.maximum(i0, 0).astype(jnp.float32)
@@ -159,10 +191,11 @@ def tile_contrib(i0, nvalid, dph_a, ph0_a, dph_b, ph0_b,
 
     ap = ((rel_p_pk - base + delta) >> 7).reshape(1, tsz)  # a' in [0, A)
 
-    # ---- operand: concat the 8-row block A' times; row r = 8a' + g
+    # ---- operand: concat the G-row block A' times; row r = G*a' + g
     M = jnp.concatenate([planes] * Ap, axis=0)            # [R, TILE]
     if "nom" not in _TPROBE:
-        a_r = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) >> 3
+        a_r = (jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+               >> (3 if G == 8 else 4))
         M = M * (ap == a_r).astype(jnp.bfloat16)
 
     # ---- b' one-hot [TILE, 128] (4x smaller than v1's [TILE, W2])
@@ -205,13 +238,20 @@ def tile_contrib(i0, nvalid, dph_a, ph0_a, dph_b, ph0_b,
         ce2d = jnp.concatenate([ce2d, z], axis=0)
         cl2d = jnp.concatenate([cl2d, z], axis=0)
     zA = jnp.zeros((Ap, 128), jnp.float32)
-    csel = jnp.stack([cw2d, cw2d, ce2d, ce2d, cl2d, cl2d, zA, zA],
-                     axis=1).reshape(R, 128)
+    if G == 8:
+        csel = jnp.stack([cw2d, cw2d, ce2d, ce2d, cl2d, cl2d, zA, zA],
+                         axis=1).reshape(R, 128)
+    else:
+        # (p, e-main, e-bnd, l-main, l-bnd) x re/im, then 6 pad rows
+        csel = jnp.stack([cw2d, cw2d, cw2d, cw2d, ce2d, ce2d,
+                          cw2d, cw2d, cl2d, cl2d,
+                          zA, zA, zA, zA, zA, zA],
+                         axis=1).reshape(R, 128)
 
     return seg * csel                              # [R, 128] "prod"
 
 
-def finalize_contrib(prod_acc):
+def finalize_contrib(prod_acc, sub: str = "none"):
     """[R, 128] accumulated prod tiles -> (1, 128) E/P/L lanes 0..5.
 
     Group-reduce WITHOUT scalar reductions (each jnp.sum-to-scalar is a
@@ -223,25 +263,37 @@ def finalize_contrib(prod_acc):
     replicated across lanes), then static row slices + lane masks
     assemble E/P/L = prompt + boundary corrections."""
     R = prod_acc.shape[0]
-    gR8 = jax.lax.broadcasted_iota(jnp.int32, (8, R), 1) & 7
-    g8i = jax.lax.broadcasted_iota(jnp.int32, (8, R), 0)
-    G = (gR8 == g8i).astype(jnp.float32)           # [8, R] group one-hot
-    U = jnp.dot(G, prod_acc, preferred_element_type=jnp.float32)  # [8,128]
+    G = plan_rows(sub)
+    gRm = jax.lax.broadcasted_iota(jnp.int32, (G, R), 1) & (G - 1)
+    gGi = jax.lax.broadcasted_iota(jnp.int32, (G, R), 0)
+    GH = (gRm == gGi).astype(jnp.float32)          # [G, R] group one-hot
+    U = jnp.dot(GH, prod_acc, preferred_element_type=jnp.float32)  # [G,128]
     V = jnp.dot(U, jnp.ones((128, 128), jnp.float32),
-                preferred_element_type=jnp.float32)            # [8, 128]
+                preferred_element_type=jnp.float32)            # [G, 128]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    m_pe = ((lane == 0) | (lane == 2) | (lane == 4)).astype(jnp.float32)
-    m_po = ((lane == 1) | (lane == 3) | (lane == 5)).astype(jnp.float32)
-    return (V[0:1, :] * m_pe + V[1:2, :] * m_po
-            + V[2:3, :] * (lane == 0).astype(jnp.float32)
-            + V[3:4, :] * (lane == 1).astype(jnp.float32)
-            + V[4:5, :] * (lane == 4).astype(jnp.float32)
-            + V[5:6, :] * (lane == 5).astype(jnp.float32))
+    if G == 8:
+        m_pe = ((lane == 0) | (lane == 2) | (lane == 4)).astype(jnp.float32)
+        m_po = ((lane == 1) | (lane == 3) | (lane == 5)).astype(jnp.float32)
+        return (V[0:1, :] * m_pe + V[1:2, :] * m_po
+                + V[2:3, :] * (lane == 0).astype(jnp.float32)
+                + V[3:4, :] * (lane == 1).astype(jnp.float32)
+                + V[4:5, :] * (lane == 4).astype(jnp.float32)
+                + V[5:6, :] * (lane == 5).astype(jnp.float32))
+    # 16-row plan: rows (p, em, eb, lm, lb) x re/im; E = em + eb, L = lm + lb
+    def at(j):
+        return (lane == j).astype(jnp.float32)
+
+    return ((V[2:3, :] + V[4:5, :]) * at(0)        # E_re
+            + (V[3:4, :] + V[5:6, :]) * at(1)      # E_im
+            + V[0:1, :] * at(2) + V[1:2, :] * at(3)   # P
+            + (V[6:7, :] + V[8:9, :]) * at(4)      # L_re
+            + (V[7:8, :] + V[9:10, :]) * at(5))    # L_im
 
 
 def _kernel(si_ref, sf_ref, xr_ref, xi_ref, code_ref, out_ref, acc,
-            win_ref=None, dma_sem=None, *, grid_tiles, W, stream):
+            win_ref=None, dma_sem=None, *, grid_tiles, W, stream,
+            sub="none"):
     c = pl.program_id(0)
     j = pl.program_id(1)
     R = acc.shape[0]
@@ -273,23 +325,28 @@ def _kernel(si_ref, sf_ref, xr_ref, xi_ref, code_ref, out_ref, acc,
     def _tile():
         def read_code_tiles(k0, m):
             if stream:
+                # DMA size rounded up to 8 sublane rows: a copy whose
+                # sublane extent is not a multiple of 8 FAULTS the TPU
+                # worker (measured round 4; offset alignment is free) —
+                # extend_code carries margin for the over-read
+                m8 = -(-m // 8) * 8
                 dma = pltpu.make_async_copy(
-                    code_ref.at[c, pl.ds(k0, m), :], win_ref, dma_sem)
+                    code_ref.at[c, pl.ds(k0, m8), :], win_ref, dma_sem)
                 dma.start()
                 dma.wait()
-                return win_ref[...]
+                return win_ref[pl.ds(0, m), :]
             return code_ref[0, 0, pl.ds(k0, m), :]
 
         prod = tile_contrib(
             i0, nvalid, dph_a, ph0_a, dph_b, ph0_b,
             vint_e, vint_p, vint_l, fr_e, fr_p, fr_l, cf,
             xr_ref[0:1, :].reshape(8, 128), xi_ref[0:1, :].reshape(8, 128),
-            W, read_code_tiles)
+            W, read_code_tiles, sub=sub)
         acc[...] = acc[...] + prod
 
     @pl.when(j == grid_tiles - 1)
     def _():
-        out_ref[0, 0, :] = finalize_contrib(acc[...])[0, :]
+        out_ref[0, 0, :] = finalize_contrib(acc[...], sub)[0, :]
 
 
 @functools.partial(
@@ -298,13 +355,11 @@ def _kernel(si_ref, sf_ref, xr_ref, xi_ref, code_ref, out_ref, acc,
 def epl_correlate2(si, sf, xr, xi, code_rows,
                    n_tiles: int, W: int, sub: str = "none",
                    stream: bool = False, interpret: bool = False):
-    """Drop-in for pallas_track.epl_correlate, sub == "none" only.
-    Same operands (si [C,9] i32, sf [C,4] f32, shared [1, NCHUNK] chunk
-    planes, extend_code rows); returns [C, 128] with lanes 0..5 =
-    E_re, E_im, P_re, P_im, L_re, L_im."""
-    if sub != "none":
-        raise ValueError("epl_correlate2 is the BPSK fast path; "
-                         f"sub={sub!r} takes the v1 kernel")
+    """Drop-in for pallas_track.epl_correlate.  Same operands (si [C,9]
+    i32, sf [C,4] f32, shared [1, NCHUNK] chunk planes, extend_code
+    rows); returns [C, 128] with lanes 0..5 =
+    E_re, E_im, P_re, P_im, L_re, L_im.  Subcarrier families run the
+    16-row per-lag plan (plan_rows)."""
     from gnss_dsp_tpu.ops.pallas_track import env_interpret
 
     interpret = interpret or env_interpret()
@@ -315,7 +370,7 @@ def epl_correlate2(si, sf, xr, xi, code_rows,
     A = W2 // 128
     K = code_rows.shape[1] // 128
     code_tiled = code_rows.reshape(C, K, 128)
-    R = 8 * _next_pow2(A)
+    R = plan_rows(sub) * _next_pow2(A)
     chunk_spec = pl.BlockSpec((1, TILE),
                               lambda c, j, si, sf: (0, si[c, 8] // TILE + j),
                               memory_space=pltpu.VMEM)
@@ -323,7 +378,7 @@ def epl_correlate2(si, sf, xr, xi, code_rows,
     if stream:
         code_spec = pl.BlockSpec(memory_space=pl.ANY)
         code_arg = code_tiled
-        scratch += [pltpu.VMEM((A + 2, 128), jnp.float32),
+        scratch += [pltpu.VMEM((-(-(A + 2) // 8) * 8, 128), jnp.float32),
                     pltpu.SemaphoreType.DMA]
     else:
         code_spec = pl.BlockSpec((1, 1, K, 128),
@@ -331,7 +386,8 @@ def epl_correlate2(si, sf, xr, xi, code_rows,
                                  memory_space=pltpu.VMEM)
         code_arg = code_tiled[:, None]
     return pl.pallas_call(
-        functools.partial(_kernel, grid_tiles=grid_tiles, W=W, stream=stream),
+        functools.partial(_kernel, grid_tiles=grid_tiles, W=W, stream=stream,
+                          sub=sub),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,

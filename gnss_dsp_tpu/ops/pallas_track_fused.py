@@ -41,9 +41,15 @@ Design:
     (n, carrier_dcyc, code_dcyc — all exact in f32), NaN/0 when the
     channel has exhausted the chunk (ok == False), matching track_scan.
 
-Scope: the BPSK fast path — sub == 1, subcarrier == "none",
-coh_blocks == 1, recovery off, VMEM-resident code rows.  Everything
-else takes the general scan engine.
+Scope (round 4 — widened from the BPSK sub==1 fast path): every
+subcarrier family (BOC/CBOC/TMBOC/RZ ride the 16-row per-lag operand
+plan, pallas_track2.plan_rows), sub-divided code periods (e1b x4,
+l1c/b1c x10, l2cm x20, l2cl x1500, glonass-p x1000 — the sub-window
+geometry runs in the kernel's scalar domain), and HBM-streamed long
+codes (the per-tile code window is DMA'd from the HBM-resident
+extended row exactly like the v2 scan kernel's stream path).  Still
+excluded (scan engine): extended-coherent (overlay), unknown-code
+recovery, mesh-sharded channels.
 """
 
 from __future__ import annotations
@@ -79,7 +85,8 @@ import os as _os  # noqa: E402
 _PROBE = _os.environ.get("GNSS_DSP_FUSED_PROBE", "")
 
 # s_i32 lanes (per channel)
-_I_PTR, _I_BLOCK, _I_COFF_P, _I_COFF_DF, _I_STALLED, _I_CHUNKLEN = range(6)
+(_I_PTR, _I_BLOCK, _I_COFF_P, _I_COFF_DF, _I_STALLED, _I_CHUNKLEN,
+ _I_NFULL, _I_SUBJ) = range(8)
 _NI = 8
 # s_f32 lanes (per channel)
 (_F_CP_HI, _F_CP_LO, _F_CFO, _F_CARR_P, _F_CARR_F,
@@ -100,7 +107,7 @@ def _fixed_bits(frac):
 
 def _kernel(s_i32, s_f32, xr_hbm, xi_hbm, code_ref,
             rows_ref, sti_out, stf_out,
-            sm_i, sm_f, buf, sems, acc, p1v, *,
+            sm_i, sm_f, buf, sems, acc, p1v, cwin=None, csem=None, *,
             B, C, KCH, n_tiles, W, tsz, nchunk, p):
     """p is the TrackParams NamedTuple (static python values)."""
     b = pl.program_id(0)
@@ -194,7 +201,22 @@ def _kernel(s_i32, s_f32, xr_hbm, xi_hbm, code_ref,
             spp * (jnp.float32(L) - code_p) / jnp.float32(L),
             spp * (jnp.float32(2 * L) - code_p) / jnp.float32(L),
         )
-        n = n_f0.astype(jnp.int32)
+        if p.sub == 1:
+            n = n_f0.astype(jnp.int32)
+            n_full = sm_i[cc, _I_NFULL]
+            sub_j = sm_i[cc, _I_SUBJ]
+            sub_j_next = sub_j
+        else:
+            # sub-divided code period: n_full is frozen at the period
+            # start and carved into p.sub reference-exact sub-windows
+            # (engine._sub_block_len — overflow-safe split form)
+            sub_j = sm_i[cc, _I_SUBJ]
+            n_full = jnp.where(sub_j == 0, n_f0.astype(jnp.int32),
+                               sm_i[cc, _I_NFULL])
+            q = n_full // p.sub
+            r = n_full - q * p.sub
+            n = q + ((sub_j + 1) * r) // p.sub - (sub_j * r) // p.sub
+            sub_j_next = jnp.where(sub_j + 1 == p.sub, 0, sub_j + 1)
         ok = jnp.logical_and(stalled == 0, ptr + n <= chunk_len)
 
         cf_dyn = (code_f_off + carrier_f / ratio) / fs
@@ -221,14 +243,59 @@ def _kernel(s_i32, s_f32, xr_hbm, xi_hbm, code_ref,
         R = acc.shape[1]
         acc[k] = jnp.zeros((R, 128), jnp.float32)
 
-        def read_code_tiles(k0, m):
-            return code_ref[k, 0, pl.ds(k0, m), :]
+        if p.pallas_stream:
+            # multi-million-chip codes (L2CL, GLONASS P): the extended
+            # row stays HBM-resident and each tile's window is DMA'd into
+            # scratch.  Two refinements over the v2 scan kernel's
+            # blocking read: (a) the copy is rounded up to 8 sublane
+            # rows — a DMA whose sublane extent is not a multiple of 8
+            # faults the TPU worker (measured round 4); (b) the window
+            # address depends only on block-start scalars, so tile j+1's
+            # copy is issued BEFORE tile j's compute (ping-pong buffers)
+            # and the DMA latency leaves the critical path.
+            M8 = cwin.shape[1]
+
+            def k0_of(j):
+                # identical arithmetic to tile_contrib's window base
+                i0j = jnp.maximum(j * tsz - off, 0).astype(jnp.float32)
+                basej = jnp.floor(fr_p + i0j * cf).astype(jnp.int32)
+                return (vint_p + basej + 1 + LEAD) // 128 - 1
+
+            def start_code(j):
+                pltpu.make_async_copy(
+                    code_ref.at[cc, pl.ds(k0_of(j), M8), :],
+                    cwin.at[j % 2], csem.at[j % 2]).start()
+
+            def wait_code(j):
+                pltpu.make_async_copy(
+                    code_ref.at[cc, pl.ds(0, M8), :],
+                    cwin.at[j % 2], csem.at[j % 2]).wait()
+
+            start_code(0)
+
+            def make_read(j):
+                def read_code_tiles(k0, m):
+                    return cwin[j % 2, pl.ds(0, m), :]
+                return read_code_tiles
+        else:
+            def read_code_tiles(k0, m):
+                return code_ref[k, 0, pl.ds(k0, m), :]
 
         for j in range(grid_tiles if _PROBE != "notile" else 0):
             i0 = j * tsz - off
+            if p.pallas_stream:
+                # drain this tile's window copy, kick off the next —
+                # unconditional (outside the i0 < n gate) so every
+                # started DMA is matched by exactly one wait
+                wait_code(j)
+                if j + 1 < grid_tiles:
+                    start_code(j + 1)
+                read_j = make_read(j)
+            else:
+                read_j = read_code_tiles
 
             @pl.when(i0 < n)
-            def _tile(j=j, i0=i0):
+            def _tile(j=j, i0=i0, read_j=read_j):
                 xr_p = buf[slot, k, 0,
                            pl.ds(j * (tsz // 128), tsz // 128), :]
                 xi_p = buf[slot, k, 1,
@@ -239,7 +306,8 @@ def _kernel(s_i32, s_f32, xr_hbm, xi_hbm, code_ref,
                     prod = tile_contrib(
                         i0, n, coffset_df, coffset_p, carr_df, carr_p0,
                         vint_e, vint_p, vint_l, fr_e, fr_p, fr_l, cf,
-                        xr_p, xi_p, W, read_code_tiles, tsz=tsz)
+                        xr_p, xi_p, W, read_j, tsz=tsz,
+                        sub=p.subcarrier)
                     acc[k] = acc[k] + prod
 
         # ---- loop filter (_post_block semantics, coh_blocks == 1).
@@ -248,7 +316,7 @@ def _kernel(s_i32, s_f32, xr_hbm, xi_hbm, code_ref,
         # is never read): only the three loop-filter errors cross into
         # the scalar domain.
         accv = (acc[k, 0:1, :] if _PROBE == "tilemin"
-                else finalize_contrib(acc[k]))
+                else finalize_contrib(acc[k], p.subcarrier))
         p1row = p1v[pl.ds(cc, 1), :]
         mode = jnp.where(block >= p.fll_wide_blocks, 1, 0)
         mode = jnp.where(block >= p.fll_wide_blocks + p.fll_narrow_blocks,
@@ -369,6 +437,9 @@ def _kernel(s_i32, s_f32, xr_hbm, xi_hbm, code_ref,
         sm_i[cc, _I_BLOCK] = jnp.where(ok, block + 1, block)
         sm_i[cc, _I_COFF_P] = jnp.where(ok, coffset_p_new, coffset_p)
         sm_i[cc, _I_STALLED] = jnp.logical_not(ok).astype(jnp.int32)
+        if p.sub != 1:
+            sm_i[cc, _I_NFULL] = jnp.where(ok, n_full, sm_i[cc, _I_NFULL])
+            sm_i[cc, _I_SUBJ] = jnp.where(ok, sub_j_next, sub_j)
 
     for k in range(KCH):
         process(k, g * KCH + k)
@@ -425,8 +496,8 @@ def track_scan_fused(x2, chunk_len, state, params, n_blocks: int,
         coffset_df.astype(jnp.int32),
         state.stalled.astype(jnp.int32),
         jnp.full((C,), 1, jnp.int32) * chunk_len,
-        jnp.zeros((C,), jnp.int32),
-        jnp.zeros((C,), jnp.int32),
+        state.n_full.astype(jnp.int32),
+        state.sub_j.astype(jnp.int32),
     ], axis=1)
     s_f32 = jnp.stack([
         state.code_p_hi, state.code_p_lo, state.code_f_off,
@@ -438,6 +509,32 @@ def track_scan_fused(x2, chunk_len, state, params, n_blocks: int,
     xr8 = x2[0].reshape(nchunk // 128, 128)
     xi8 = x2[1].reshape(nchunk // 128, 128)
 
+    from gnss_dsp_tpu.ops.pallas_track2 import plan_rows
+
+    A = (W + 128) // 128
+    R = plan_rows(params.subcarrier) * _next_pow2(A)
+    scratch = [
+        pltpu.SMEM((C, _NI), jnp.int32),
+        pltpu.SMEM((C, _NF), jnp.float32),
+        pltpu.VMEM((2, KCH, 2, WIN8, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, KCH, 2)),
+        pltpu.VMEM((KCH, R, 128), jnp.float32),
+        pltpu.VMEM((C, 128), jnp.float32),
+    ]
+    if params.pallas_stream:
+        # extended rows stay in HBM ([C, K, 128] tiled layout); each tile
+        # DMAs its (A+2)-row window into scratch
+        code_spec = pl.BlockSpec(memory_space=pl.ANY)
+        code_arg = code_rows_ext.reshape(C, -1, 128)
+        scratch += [pltpu.VMEM((2, -(-(A + 2) // 8) * 8, 128), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,))]
+    else:
+        code_spec = pl.BlockSpec(
+            (KCH, 1, code_rows_ext.shape[1] // 128, 128),
+            lambda b, g, si, sf: (g, 0, 0, 0),
+            memory_space=pltpu.VMEM)
+        code_arg = code_rows_ext.reshape(C, 1, -1, 128)
+
     rows, sti, stf = pl.pallas_call(
         functools.partial(_kernel, B=B, C=C, KCH=KCH, n_tiles=n_tiles,
                           W=W, tsz=tsz, nchunk=nchunk, p=params),
@@ -447,9 +544,7 @@ def track_scan_fused(x2, chunk_len, state, params, n_blocks: int,
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),   # xr (HBM)
                 pl.BlockSpec(memory_space=pl.ANY),   # xi (HBM)
-                pl.BlockSpec((KCH, 1, code_rows_ext.shape[1] // 128, 128),
-                             lambda b, g, si, sf: (g, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
+                code_spec,
             ],
             out_specs=[
                 pl.BlockSpec((1, KCH, 1, 128),
@@ -458,15 +553,7 @@ def track_scan_fused(x2, chunk_len, state, params, n_blocks: int,
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
-            scratch_shapes=[
-                pltpu.SMEM((C, _NI), jnp.int32),
-                pltpu.SMEM((C, _NF), jnp.float32),
-                pltpu.VMEM((2, KCH, 2, WIN8, 128), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, KCH, 2)),
-                pltpu.VMEM((KCH, 8 * _next_pow2((W + 128) // 128), 128),
-                           jnp.float32),
-                pltpu.VMEM((C, 128), jnp.float32),
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((B, C, 1, 128), jnp.float32),
@@ -474,14 +561,15 @@ def track_scan_fused(x2, chunk_len, state, params, n_blocks: int,
             jax.ShapeDtypeStruct((C, _NF), jnp.float32),
         ],
         interpret=interpret,
-    )(s_i32, s_f32, xr8, xi8,
-      code_rows_ext.reshape(C, 1, -1, 128))
+    )(s_i32, s_f32, xr8, xi8, code_arg)
 
     state_new = state._replace(
         ptr=sti[:, _I_PTR],
         block=sti[:, _I_BLOCK],
         coffset_p=sti[:, _I_COFF_P].astype(jnp.uint32),
         stalled=sti[:, _I_STALLED] != 0,
+        n_full=sti[:, _I_NFULL],
+        sub_j=sti[:, _I_SUBJ],
         code_p_hi=stf[:, _F_CP_HI],
         code_p_lo=stf[:, _F_CP_LO],
         code_f_off=stf[:, _F_CFO],

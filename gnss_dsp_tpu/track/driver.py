@@ -148,6 +148,12 @@ def make_params(sig, fs: float, coffset: float, loop_dwells=(500, 500),
         code_length=int(sig.code_length),
         carrier_ratio=float(sig.track_carrier_ratio(chan)),
         el_spacing=float(sig.el_spacing),
+        # NOTE: this static field is a fallback default only — track_file
+        # always passes the per-channel runtime coffset_df array, so the
+        # compiled program is identical for every carrier offset.  Keep
+        # the true value here (used when track_scan is called without
+        # coffset_df, e.g. in unit tests); cli paths that want cross-
+        # offset cache hits pass coffset_df explicitly.
         coffset_df_fixed=int(nco.freq_to_fixed(-coffset / fs)),
         nmax=nmax,
         fll_wide_blocks=int(fw),
@@ -158,10 +164,13 @@ def make_params(sig, fs: float, coffset: float, loop_dwells=(500, 500),
         sub=int(sub),
         subcarrier=str(sig.subcarrier),
         use_pallas=bool(use_pallas),
-        pallas_v2=bool(use_pallas) and str(sig.subcarrier) == "none",
-        fused_scan=bool(use_pallas) and str(sig.subcarrier) == "none"
-        and sub == 1 and coherent_blocks == 1 and recover_after < 0
-        and sig.code_length <= _STREAM_CODE_CHIPS
+        # v2 handles every subcarrier family since round 4 (16-row
+        # per-lag plan, pallas_track2.plan_rows); v1 is kept as an
+        # ablation/fallback behind GNSS_DSP_PALLAS_V1
+        pallas_v2=bool(use_pallas)
+        and not os.environ.get("GNSS_DSP_PALLAS_V1"),
+        fused_scan=bool(use_pallas)
+        and coherent_blocks == 1 and recover_after < 0
         and not os.environ.get("GNSS_DSP_NO_FUSED"),
         pallas_tiles=int(pallas_tiles),
         pallas_w=int(pallas_w),
@@ -247,6 +256,15 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
                          coherent_blocks=coherent_blocks,
                          # the sharded scan carries no Pallas code rows
                          use_pallas=False if mesh is not None else None)
+    # normalize the per-run values out of the STATIC jit key: the scan is
+    # always called with explicit runtime ratios/coffset_df arrays below,
+    # so tracks of the same family at different carrier offsets (or FDMA
+    # channels) share one compiled program — this halves the compile
+    # count of the track-all workload's repeated families and makes the
+    # persistent cache hit across CLI invocations with any coffset
+    params = params._replace(
+        coffset_df_fixed=0,
+        carrier_ratio=float(sig.track_carrier_ratio(0)))
     overlay = None
     if coherent_blocks > 1:
         rows = []
@@ -413,6 +431,15 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
             _os.replace(tmp, checkpoint_path)
 
         if reader.done and not emitted_any:
+            break
+        if reader.done and bool(np.asarray(state.stalled).all()):
+            # every channel is frozen at the data end and no samples can
+            # ever arrive: rebasing cannot unstall them (ptr and
+            # chunk_len shift together), so a re-scan would emit nothing.
+            # Breaking now (after this iteration's checkpoint) instead of
+            # after a no-op scan matters because the residual buffer has
+            # a different padded length — that extra scan was a second
+            # full XLA compile per signal family (track-all paid it x11)
             break
 
     if recover_after >= 0:

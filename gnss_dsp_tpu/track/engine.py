@@ -168,6 +168,17 @@ def init_state(code_p, code_f_off, carrier_p, carrier_f, ptr=0,
     )
 
 
+def _sub_block_len(sub_j, n_full, sub: int):
+    """int(((j+1)*nf)/sub) - int((j*nf)/sub) (the reference's sub-window
+    boundaries, track-galileo-e1b.py:164-166) WITHOUT the j*nf product:
+    at sub = 1500 (L2CL) and nf ~ 3.5e7 samples that product overflows
+    int32 past j ~ 60.  Split nf = q*sub + r: the q part contributes q
+    per sub-block exactly, and the r products are < sub^2 <= 2.25e6."""
+    q = n_full // sub
+    r = n_full - q * sub
+    return q + ((sub_j + 1) * r) // sub - (sub_j * r) // sub
+
+
 def _mode_of(block, p: TrackParams):
     """0 until fll_wide_blocks, 1 until +fll_narrow_blocks, then 2
     (track-gps-l1.py:155-158)."""
@@ -201,7 +212,7 @@ def _track_block(x_chunk, chunk_len, code_tab, ratio, st: TrackState,
     else:
         at_start = st.sub_j == 0
         n_full = jnp.where(at_start, n_f.astype(jnp.int32), st.n_full)
-        n = ((st.sub_j + 1) * n_full) // p.sub - (st.sub_j * n_full) // p.sub
+        n = _sub_block_len(st.sub_j, n_full, p.sub)
         sub_j_next = (st.sub_j + 1) % p.sub
 
     ok = jnp.logical_and(jnp.logical_not(st.stalled), st.ptr + n <= chunk_len)
@@ -450,8 +461,7 @@ def _step_pallas(x2, chunk_len, code_rows_ext, ratios,
     else:
         at_start = st.sub_j == 0
         n_full_new = jnp.where(at_start, n_f.astype(jnp.int32), st.n_full)
-        n = (((st.sub_j + 1) * n_full_new) // p.sub
-             - (st.sub_j * n_full_new) // p.sub)
+        n = _sub_block_len(st.sub_j, n_full_new, p.sub)
         sub_j_next = (st.sub_j + 1) % p.sub
     ok = jnp.logical_and(jnp.logical_not(st.stalled), st.ptr + n <= chunk_len)
 
@@ -499,7 +509,7 @@ def _step_pallas(x2, chunk_len, code_rows_ext, ratios,
 
         sums = ptk2.epl_correlate2(
             si, sf, x2[0], x2[1], code_rows_ext,
-            n_tiles=p.pallas_tiles, W=p.pallas_w,
+            n_tiles=p.pallas_tiles, W=p.pallas_w, sub=p.subcarrier,
             stream=p.pallas_stream,
         )
     else:
@@ -545,9 +555,7 @@ def track_scan(x_chunk, chunk_len, code_tab, state: TrackState,
                               jnp.int32(params.coffset_df_fixed))
     use_pallas = params.use_pallas and code_rows_ext is not None
     if (params.fused_scan and use_pallas and overlay is None
-            and params.sub == 1 and params.subcarrier == "none"
-            and params.coh_blocks == 1 and params.recover_after < 0
-            and not params.pallas_stream):
+            and params.coh_blocks == 1 and params.recover_after < 0):
         from gnss_dsp_tpu.ops import pallas_track_fused as ptf
 
         x2 = (x_chunk[0].reshape(1, -1), x_chunk[1].reshape(1, -1))

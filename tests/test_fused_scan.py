@@ -19,20 +19,23 @@ from gnss_dsp_tpu.ops import pallas_track as ptk
 from gnss_dsp_tpu.utils import synth
 
 
-def _setup(fs, prns, dops, phases, seconds=0.06, coffset=1250.0):
-    sig = get_signal("gps-l1")
+def _setup(fs, prns, dops, phases, seconds=0.06, coffset=1250.0,
+           signame="gps-l1"):
+    sig = get_signal(signame)
     n = int(fs * seconds)
+    code_f64 = sig.code_table(tuple(prns)).astype(np.float64)
     x = sum(
-        synth.synth_iq(gps_ca.ca_code(p).astype(np.float64), sig.chip_rate,
+        synth.synth_iq(code_f64[i], sig.chip_rate,
                        fs, n, doppler_hz=d, code_phase=cp, cn0_dbhz=None,
-                       carrier_ratio=1540.0)
-        for p, d, cp in zip(prns, dops, phases)
+                       carrier_ratio=sig.track_carrier_ratio(p),
+                       subcarrier=sig.subcarrier)
+        for i, (p, d, cp) in enumerate(zip(prns, dops, phases))
     )
     # place the scene at a nonzero carrier offset so the fused kernel's
     # in-kernel coffset DDS (int32 wraparound path) is exercised
     x = x * np.exp(2j * np.pi * coffset / fs * np.arange(n))
     params = make_params(sig, fs, coffset=coffset, loop_dwells=(8, 8),
-                         use_pallas=True)
+                         use_pallas=True, chan=prns[0])
     assert params.fused_scan and params.pallas_v2
     C = len(prns)
     code_np = sig.code_table(tuple(prns)).astype(np.int8)
@@ -46,8 +49,12 @@ def _setup(fs, prns, dops, phases, seconds=0.06, coffset=1250.0):
     st = init_state(code_p=list(phases), code_f_off=[0.0] * C,
                     carrier_p=[0.0] * C, carrier_f=list(dops))
     tab = jnp.asarray(code_np)
-    ratios = jnp.full((C,), 1540.0, jnp.float32)
-    cdf = jnp.full((C,), params.coffset_df_fixed, jnp.int32)
+    ratios = jnp.asarray([sig.track_carrier_ratio(p) for p in prns],
+                         dtype=jnp.float32)
+    from gnss_dsp_tpu.ops import nco as _nco
+    cdf = jnp.asarray(
+        [_nco.freq_to_fixed(-(coffset + (sig.fdma_hz or 0.0) * p) / fs)
+         for p in prns], jnp.int32)
     return params, xd, n, tab, st, rows_ext, ratios, cdf
 
 
@@ -75,6 +82,50 @@ def test_fused_matches_scan(C, monkeypatch):
     np.testing.assert_array_equal(ri_a, ri_b)
     np.testing.assert_allclose(rf_a, rf_b, rtol=2e-5, atol=2e-4)
     for name in ("ptr", "block", "coffset_p", "stalled"):
+        np.testing.assert_array_equal(np.asarray(getattr(st_a, name)),
+                                      np.asarray(getattr(st_b, name)), name)
+    for name in ("code_p_hi", "code_p_lo", "code_f_off", "carrier_p",
+                 "carrier_f", "prompt1_re", "prompt1_im", "carrier_e1",
+                 "code_e1"):
+        np.testing.assert_allclose(np.asarray(getattr(st_a, name)),
+                                   np.asarray(getattr(st_b, name)),
+                                   rtol=2e-5, atol=2e-4, err_msg=name)
+
+
+# (signal, fs, prns/chans, dopplers, code phases, n_sub_blocks):
+# every engine-shape family the round-4 fused kernel widened into —
+# subcarriers (cboc/tmboc/boc11/rz_even/rz_odd), sub-divided periods
+# (x4/x10/x20/x1500/x1000, track-galileo-e1b.py:164-170 etc.), and the
+# HBM-streamed long codes (L2CL 767250 chips, GLONASS P 5.11M chips)
+_FAMILIES = [
+    ("galileo-e1b", 2.048e6, [11, 24], [700.0, -1500.0],
+     [100.0, 2047.3], 24),
+    ("gps-l1cp", 2.048e6, [9], [400.0], [5000.6], 22),
+    ("gps-l1cd", 2.048e6, [3], [-250.0], [17.0], 22),
+    ("gps-l2cm", 2.048e6, [29], [900.0], [5111.2], 22),
+    ("gps-l2cl", 2.048e6, [29], [900.0], [700000.4], 20),
+    ("glonass-l1-p", 4.096e6, [0], [1200.0], [2555000.7], 16),
+]
+
+
+@pytest.mark.parametrize("signame,fs,prns,dops,phases,nb", _FAMILIES,
+                         ids=[f[0] for f in _FAMILIES])
+def test_fused_matches_scan_families(signame, fs, prns, dops, phases, nb,
+                                     monkeypatch):
+    monkeypatch.setenv("GNSS_DSP_PALLAS_INTERPRET", "1")
+    params, xd, n, tab, st, rows_ext, ratios, cdf = _setup(
+        fs, prns, dops, phases, signame=signame)
+    sig = get_signal(signame)
+    assert params.sub == sig.sub_blocks
+    assert params.pallas_stream == (sig.code_length > 100_000)
+    st_a, rf_a, ri_a = _run(params._replace(fused_scan=False), xd, n, tab,
+                            st, rows_ext, ratios, cdf, nb)
+    st_b, rf_b, ri_b = _run(params, xd, n, tab, st, rows_ext, ratios, cdf,
+                            nb)
+    assert (ri_a[:, :, 0] > 0).all()          # no channel stalled mid-test
+    np.testing.assert_array_equal(ri_a, ri_b)
+    np.testing.assert_allclose(rf_a, rf_b, rtol=2e-5, atol=2e-4)
+    for name in ("ptr", "block", "coffset_p", "stalled", "n_full", "sub_j"):
         np.testing.assert_array_equal(np.asarray(getattr(st_a, name)),
                                       np.asarray(getattr(st_b, name)), name)
     for name in ("code_p_hi", "code_p_lo", "code_f_off", "carrier_p",

@@ -65,6 +65,9 @@ def oracle(x, code, code_p, cf, el, ph0a, dpha, ph0b, dphb, n_valid, sub):
     ("rz_even", False, False), ("rz_odd", False, False),
     ("none", True, False), ("boc11", True, False),  # HBM-streamed windows
     ("none", False, True), ("none", True, True),    # v2 factorized kernel
+    # v2 16-row per-lag plan (round 4): every subcarrier family
+    ("boc11", False, True), ("cboc", False, True), ("tmboc", False, True),
+    ("rz_even", False, True), ("rz_odd", False, True), ("boc11", True, True),
 ])
 def test_kernel_matches_oracle(sub, stream, v2, rng):
     fs = 4.096e6
@@ -121,7 +124,7 @@ def test_kernel_matches_oracle(sub, stream, v2, rng):
             jnp.asarray(xs.real.astype(np.float32))[None, :],
             jnp.asarray(xs.imag.astype(np.float32))[None, :],
             jnp.asarray(code_rows),
-            n_tiles=n_tiles, W=W, stream=stream, interpret=True,
+            n_tiles=n_tiles, W=W, sub=sub, stream=stream, interpret=True,
         ))[:, :6]
     else:
         got = np.asarray(ptk.epl_correlate(

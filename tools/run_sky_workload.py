@@ -98,11 +98,43 @@ def check_track(dest):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--batched"]
-    batched = "--batched" in sys.argv[1:]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    batched = "--batched" in flags
+    real = "--real" in flags
     data = args[0] if args else "/tmp/gnss-sky-synth.pcap"
     ms = int(args[1]) if len(args) > 1 else 120
-    if not os.path.exists(data):
+    if real:
+        # `make verify` mode: the REAL 2017-04-27 sky recording (network-
+        # gated — `make gnss-20170427-L1L2L5.pcap` downloads it when
+        # egress exists).  Never synthesizes; checksums the capture
+        # (recorded on first use) so reruns validate the same bytes; the
+        # golden expectations below are the reference's own seeds
+        # (track-all-gnss-2017-L1L2L5.sh:9-25).
+        if not os.path.exists(data):
+            print(f"real capture {data} not present — download it with "
+                  "`make gnss-20170427-L1L2L5.pcap` (needs network egress;"
+                  " this environment has none).  The synthetic fallback "
+                  "is `python tools/run_sky_workload.py --batched`.")
+            sys.exit(3)
+        import hashlib
+
+        h = hashlib.sha256()
+        with open(data, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 22), b""):
+                h.update(chunk)
+        digest = h.hexdigest()
+        rec = os.path.join(REPO, "tools", "sky_capture.sha256")
+        if os.path.exists(rec):
+            want = open(rec).read().split()[0]
+            assert digest == want, (
+                f"capture checksum mismatch: {digest} != recorded {want}")
+            print(f"capture sha256 OK ({digest[:16]}...)")
+        else:
+            with open(rec, "w") as f:
+                f.write(f"{digest}  {os.path.basename(data)}\n")
+            print(f"capture sha256 recorded: {digest[:16]}...")
+    elif not os.path.exists(data):
         subprocess.run([sys.executable,
                         os.path.join(REPO, "tools", "synth_sky.py"),
                         data, str(ms)], check=True,
