@@ -22,7 +22,43 @@ from gnss_dsp_tpu.track.driver import (
 )
 
 
-def main(signal: str, argv=None) -> int:
+def _preload_chunk(path: str, fs: float, chunk_ms: float, cache: dict,
+                   lock=None):
+    """Device-resident whole-file chunk shared across CLI calls (the
+    batched workload runner's per-band upload cache — mirrors
+    cli.acquire's x_cache).  Returns (split_pair, n_samples) or None
+    when the file exceeds one chunk (streaming path handles it)."""
+    import os as _os
+
+    import numpy as np
+
+    import contextlib
+
+    n = _os.path.getsize(path) // 2
+    if n > int(fs * chunk_ms / 1000.0):
+        return None
+    with (lock if lock is not None else contextlib.nullcontext()):
+        if path in cache:
+            return cache[path]
+        import jax.numpy as jnp
+
+        from gnss_dsp_tpu.utils import native
+
+        raw = np.fromfile(path, np.int8)
+        x = native.deinterleave_c64(raw[: 2 * n])
+        # generous shared tail: covers every family's window margin
+        # (track_file falls back to streaming if it ever doesn't)
+        pad = int(fs * 0.006) + 16384
+        pad += (-(n + pad)) % 1024
+        xp = np.concatenate([x, np.zeros(pad, np.complex64)])
+        dev = (jnp.asarray(np.ascontiguousarray(xp.real)),
+               jnp.asarray(np.ascontiguousarray(xp.imag)))
+        cache[path] = (dev, n)
+        return cache[path]
+
+
+def main(signal: str, argv=None, x_cache: dict | None = None,
+         x_cache_lock=None) -> int:
     if os.environ.get("GNSS_DSP_CPU"):
         # deterministic local compiles (e.g. parity tests); must run
         # before the first backend use
@@ -139,13 +175,19 @@ def main(signal: str, argv=None) -> int:
 
         mesh = make_mesh(None if options.mesh < 0 else options.mesh,
                          time_shards=1)
+    preloaded = None
+    if (x_cache is not None and filename != "-" and mesh is None
+            and options.checkpoint is None and options.resume is None):
+        preloaded = _preload_chunk(filename, fs, options.chunk_ms, x_cache,
+                                   lock=x_cache_lock)
     track_file(sig, fp, fs, coffset, channels, loop_dwells=dwells,
                chunk_ms=options.chunk_ms,
                max_blocks=options.blocks or None, emit=emit,
                recover_after=recover_after,
                checkpoint_path=options.checkpoint,
                resume_from=options.resume,
-               coherent_blocks=options.coherent, mesh=mesh)
+               coherent_blocks=options.coherent, mesh=mesh,
+               preloaded=preloaded)
     if recover_after >= 0:
         # reference dumps the raw complex bins, one "%f %f" row per chip
         # (track-beidou-b2bi.py:181-184)

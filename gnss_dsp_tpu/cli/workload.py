@@ -132,7 +132,7 @@ def run_acquire_all(data: str, dest: str) -> None:
 
 
 class _ThreadStdout:
-    """sys.stdout proxy dispatching writes per thread: lets N script
+    """sys.stdout proxy dispatching write() per thread: lets N script
     mains (which print() their rows) run concurrently in one process
     with each thread's rows captured separately."""
 
@@ -162,17 +162,29 @@ def run_track_all(data: str, dest: str) -> None:
     os.makedirs(dest, exist_ok=True)
     bands = demux_bands(data, dest)
     t0 = time.perf_counter()
-    if os.environ.get("GNSS_DSP_WORKLOAD_SERIAL"):
+    # x_cache: ONE device upload per band shared by every script on that
+    # band (cli.track._preload_chunk), mutex-guarded so concurrent
+    # scripts never duplicate an upload.
+    import threading
+
+    x_cache: dict = {}
+    lock = threading.Lock()
+
+    if not os.environ.get("GNSS_DSP_WORKLOAD_PARALLEL"):
+        # serial default: with the runtime-sigp program sharing only 3
+        # XLA compiles remain (W128-BPSK, W256-BPSK, subc) and the wall
+        # is dominated by the remote-compile service's per-program
+        # latency — measured 143 s cold vs round-3's 334 s
         for band, signal, coffset, prn, dop, phase, outfile in TRACK_ALL:
             _run_to_file(track_main, signal,
                          [bands[band], _FS, coffset, prn, dop, phase],
-                         os.path.join(dest, outfile))
+                         os.path.join(dest, outfile), x_cache=x_cache)
     else:
-        # the 11 tracks are independent programs on independent streams;
-        # running them on a thread pool overlaps their XLA compiles
-        # (the wall-clock cost: ~4 s of device work vs minutes of
-        # per-family compile when serialized) while the device itself
-        # serializes the actual scan dispatches
+        # opt-in thread-pool run: concurrent compiles through the remote
+        # service (measured 12x faster than sequential for independent
+        # toy programs), shared band uploads; in practice every thread
+        # gates on the SLOWEST program compile, so this only wins when
+        # the service is lightly loaded
         from concurrent.futures import ThreadPoolExecutor
 
         proxy = _ThreadStdout(sys.stdout)
@@ -185,7 +197,8 @@ def run_track_all(data: str, dest: str) -> None:
             buf = _io.StringIO()
             proxy.register(buf)
             rc = track_main(signal,
-                            [bands[band], _FS, coffset, prn, dop, phase])
+                            [bands[band], _FS, coffset, prn, dop, phase],
+                            x_cache=x_cache, x_cache_lock=lock)
             assert rc in (0, None), (signal, rc)
             with open(os.path.join(dest, outfile), "w") as f:
                 f.write(buf.getvalue())

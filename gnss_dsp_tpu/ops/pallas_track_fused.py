@@ -88,10 +88,13 @@ _PROBE = _os.environ.get("GNSS_DSP_FUSED_PROBE", "")
 (_I_PTR, _I_BLOCK, _I_COFF_P, _I_COFF_DF, _I_STALLED, _I_CHUNKLEN,
  _I_NFULL, _I_SUBJ) = range(8)
 _NI = 8
-# s_f32 lanes (per channel)
+# s_f32 lanes (per channel): loop state + the runtime signal constants
+# (engine.SIGP_* — static params split the compile cache per family)
 (_F_CP_HI, _F_CP_LO, _F_CFO, _F_CARR_P, _F_CARR_F,
- _F_P1RE, _F_P1IM, _F_CE1, _F_DE1, _F_RATIO) = range(10)
-_NF = 10
+ _F_P1RE, _F_P1IM, _F_CE1, _F_DE1, _F_RATIO,
+ _F_CFH, _F_CFL, _F_EL, _F_L, _F_SPP, _F_SUB,
+ _F_A0, _F_A1, _F_A6) = range(19)
+_NF = 19
 
 
 def _fixed_bits(frac):
@@ -116,9 +119,7 @@ def _kernel(s_i32, s_f32, xr_hbm, xi_hbm, code_ref,
     idx = b * NG + g
     grid_tiles = n_tiles + 1
     WIN8 = grid_tiles * (tsz // 128)         # window size in 128-lane rows
-    L = float(p.code_length)
     fs = np.float32(p.fs)
-    spp = np.float32(p.fs * 0.001 * p.code_period_ms)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     zv = jnp.zeros((1, 128), jnp.float32)
     m2 = (lane == 2).astype(jnp.float32)
@@ -195,42 +196,44 @@ def _kernel(s_i32, s_f32, xr_hbm, xi_hbm, code_ref,
         stalled = sm_i[cc, _I_STALLED]
         chunk_len = sm_i[cc, _I_CHUNKLEN]
 
+        L = sm_f[cc, _F_L]
+        spp = sm_f[cc, _F_SPP]
+        el = sm_f[cc, _F_EL]
+        cf_hi_c = sm_f[cc, _F_CFH]
+        cf_lo_c = sm_f[cc, _F_CFL]
+        sub_i = sm_f[cc, _F_SUB].astype(jnp.int32)
+
         code_p = cp_hi + cp_lo
         n_f0 = jnp.where(
             code_p < L / 2,
-            spp * (jnp.float32(L) - code_p) / jnp.float32(L),
-            spp * (jnp.float32(2 * L) - code_p) / jnp.float32(L),
+            spp * (L - code_p) / L,
+            spp * (2.0 * L - code_p) / L,
         )
-        if p.sub == 1:
-            n = n_f0.astype(jnp.int32)
-            n_full = sm_i[cc, _I_NFULL]
-            sub_j = sm_i[cc, _I_SUBJ]
-            sub_j_next = sub_j
-        else:
-            # sub-divided code period: n_full is frozen at the period
-            # start and carved into p.sub reference-exact sub-windows
-            # (engine._sub_block_len — overflow-safe split form)
-            sub_j = sm_i[cc, _I_SUBJ]
-            n_full = jnp.where(sub_j == 0, n_f0.astype(jnp.int32),
-                               sm_i[cc, _I_NFULL])
-            q = n_full // p.sub
-            r = n_full - q * p.sub
-            n = q + ((sub_j + 1) * r) // p.sub - (sub_j * r) // p.sub
-            sub_j_next = jnp.where(sub_j + 1 == p.sub, 0, sub_j + 1)
+        # sub-divided code period: n_full is frozen at the period start
+        # and carved into sub reference-exact sub-windows
+        # (engine._sub_block_len — overflow-safe split form; sub == 1
+        # reduces to n = n_full exactly)
+        sub_j = sm_i[cc, _I_SUBJ]
+        n_full = jnp.where(sub_j == 0, n_f0.astype(jnp.int32),
+                           sm_i[cc, _I_NFULL])
+        q = n_full // sub_i
+        r = n_full - q * sub_i
+        n = q + ((sub_j + 1) * r) // sub_i - (sub_j * r) // sub_i
+        sub_j_next = jnp.where(sub_j + 1 == sub_i, 0, sub_j + 1)
         ok = jnp.logical_and(stalled == 0, ptr + n <= chunk_len)
 
         cf_dyn = (code_f_off + carrier_f / ratio) / fs
-        cf = jnp.float32(p.cf_hi) + cf_dyn
+        cf = cf_hi_c + cf_dyn
 
         def vf(lag):
-            v = tf.tf_add_f((cp_hi, cp_lo), jnp.float32(lag))
+            v = tf.tf_add_f((cp_hi, cp_lo), lag)
             vint = jnp.floor(v[0] + v[1])
             fr = tf.tf_value(tf.tf_add_f(v, -vint))
             return vint.astype(jnp.int32), fr
 
-        vint_e, fr_e = vf(-p.el_spacing)
-        vint_p, fr_p = vf(0.0)
-        vint_l, fr_l = vf(p.el_spacing)
+        vint_e, fr_e = vf(-el)
+        vint_p, fr_p = vf(jnp.float32(0.0))
+        vint_l, fr_l = vf(el)
 
         fdf = -carrier_f / fs
         carr_df = _fixed_bits(fdf - jnp.floor(fdf))
@@ -307,7 +310,9 @@ def _kernel(s_i32, s_f32, xr_hbm, xi_hbm, code_ref,
                         i0, n, coffset_df, coffset_p, carr_df, carr_p0,
                         vint_e, vint_p, vint_l, fr_e, fr_p, fr_l, cf,
                         xr_p, xi_p, W, read_j, tsz=tsz,
-                        sub=p.subcarrier)
+                        sub=p.subcarrier,
+                        a0=sm_f[cc, _F_A0], a1=sm_f[cc, _F_A1],
+                        a6=sm_f[cc, _F_A6])
                     acc[k] = acc[k] + prod
 
         # ---- loop filter (_post_block semantics, coh_blocks == 1).
@@ -390,12 +395,12 @@ def _kernel(s_i32, s_f32, xr_hbm, xi_hbm, code_ref,
         coffset_p_new = coffset_p + n * coffset_df    # uint32 wrap in int32
 
         # code phase advance in two-float (:88-92)
-        adv = tf.tf_mul_f((jnp.float32(p.cf_hi), jnp.float32(p.cf_lo)), n_f)
+        adv = tf.tf_mul_f((cf_hi_c, cf_lo_c), n_f)
         adv = tf.tf_add_f(adv, n_f * cf_dyn)
         cp_new = tf.tf_add((cp_hi, cp_lo), adv)
         (cp_hi_new, cp_lo_new), wraps = tf.tf_mod(cp_new, L)
         tc = cp_hi_new + cp_lo_new
-        code_dcyc = (wraps * jnp.float32(L)).astype(jnp.int32)
+        code_dcyc = (wraps * L).astype(jnp.int32)
 
         # ---- row (lanes 0..10 = ROW_FIELDS floats, 11..13 = int row)
         def at(j, v):
@@ -437,9 +442,8 @@ def _kernel(s_i32, s_f32, xr_hbm, xi_hbm, code_ref,
         sm_i[cc, _I_BLOCK] = jnp.where(ok, block + 1, block)
         sm_i[cc, _I_COFF_P] = jnp.where(ok, coffset_p_new, coffset_p)
         sm_i[cc, _I_STALLED] = jnp.logical_not(ok).astype(jnp.int32)
-        if p.sub != 1:
-            sm_i[cc, _I_NFULL] = jnp.where(ok, n_full, sm_i[cc, _I_NFULL])
-            sm_i[cc, _I_SUBJ] = jnp.where(ok, sub_j_next, sub_j)
+        sm_i[cc, _I_NFULL] = jnp.where(ok, n_full, sm_i[cc, _I_NFULL])
+        sm_i[cc, _I_SUBJ] = jnp.where(ok, sub_j_next, sub_j)
 
     for k in range(KCH):
         process(k, g * KCH + k)
@@ -466,7 +470,7 @@ def _kernel(s_i32, s_f32, xr_hbm, xi_hbm, code_ref,
 
 
 def track_scan_fused(x2, chunk_len, state, params, n_blocks: int,
-                     ratios, code_rows_ext, coffset_df,
+                     ratios, code_rows_ext, coffset_df, sigp=None,
                      interpret: bool = False):
     """Drop-in core for track_scan on the BPSK fast path: returns
     (state', rows_f [B, C, 11], rows_i [B, C, 3]) with track_scan
@@ -474,14 +478,17 @@ def track_scan_fused(x2, chunk_len, state, params, n_blocks: int,
     """
     from gnss_dsp_tpu.ops.pallas_track import env_interpret
 
-    from gnss_dsp_tpu.ops.pallas_track import chip_window
-
     interpret = interpret or env_interpret()
     C = state.ptr.shape[0]
     B = int(n_blocks)
     tsz = FUSED_TILE
+    assert tsz == TILE  # params.pallas_w is sized for TILE-sample windows
     n_tiles = -(-int(params.nmax) // tsz)
-    W = chip_window(params.cf_hi, tsz)
+    W = int(params.pallas_w)
+    if sigp is None:
+        from gnss_dsp_tpu.track.engine import sigp_from_params
+
+        sigp = sigp_from_params(params, C)
     nchunk = x2[0].shape[-1]
     assert nchunk % 128 == 0, nchunk
     grid_tiles = n_tiles + 1
@@ -499,12 +506,12 @@ def track_scan_fused(x2, chunk_len, state, params, n_blocks: int,
         state.n_full.astype(jnp.int32),
         state.sub_j.astype(jnp.int32),
     ], axis=1)
-    s_f32 = jnp.stack([
+    s_f32 = jnp.concatenate([jnp.stack([
         state.code_p_hi, state.code_p_lo, state.code_f_off,
         state.carrier_p, state.carrier_f,
         state.prompt1_re, state.prompt1_im,
         state.carrier_e1, state.code_e1, ratios.astype(jnp.float32),
-    ], axis=1)
+    ], axis=1), sigp.astype(jnp.float32)], axis=1)
 
     xr8 = x2[0].reshape(nchunk // 128, 128)
     xi8 = x2[1].reshape(nchunk // 128, 128)

@@ -27,7 +27,7 @@ def shard_channels(mesh, state: TrackState, code_tab):
 
 def track_scan_sharded(mesh, x_chunk, chunk_len, code_tab, state, params,
                        n_blocks: int, ratios=None, coffset_df=None,
-                       multihost: bool = False):
+                       sigp=None, multihost: bool = False):
     """Run track_scan with channel-sharded state.  x replicated; the
     per-channel carrier-aiding ratios and FDMA carrier-offset increments
     shard with the channels.
@@ -59,6 +59,8 @@ def track_scan_sharded(mesh, x_chunk, chunk_len, code_tab, state, params,
             ratios = g(P("sat"), ratios)
         if coffset_df is not None:
             coffset_df = g(P("sat"), coffset_df)
+        if sigp is not None:
+            sigp = g(P("sat", None), sigp)
     else:
         rep = NamedSharding(mesh, P())
         x_chunk = jax.device_put(x_chunk, rep)
@@ -67,8 +69,11 @@ def track_scan_sharded(mesh, x_chunk, chunk_len, code_tab, state, params,
             ratios = jax.device_put(ratios, chan)
         if coffset_df is not None:
             coffset_df = jax.device_put(coffset_df, chan)
+        if sigp is not None:
+            sigp = jax.device_put(
+                sigp, NamedSharding(mesh, P("sat", None)))
     out = track_scan(x_chunk, chunk_len, code_tab, state, params, n_blocks,
-                     ratios=ratios, coffset_df=coffset_df)
+                     ratios=ratios, coffset_df=coffset_df, sigp=sigp)
     if multihost:
         # replicate on-device (multihost_utils.process_allgather mangles
         # the middle-axis-sharded [B, C, 11] rows), then read locally

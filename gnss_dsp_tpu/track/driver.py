@@ -131,7 +131,13 @@ def make_params(sig, fs: float, coffset: float, loop_dwells=(500, 500),
         from gnss_dsp_tpu.ops import pallas_track as ptk
 
         pallas_tiles = -(-nmax // ptk.TILE)
-        pallas_w = ptk.chip_window(sig.chip_rate / fs)
+        # round the chip window up to a power-of-two lane multiple: W is
+        # a compile-key shape, and bucketing it lets signal families
+        # with nearby chip rates share one compiled program
+        w = ptk.chip_window(sig.chip_rate / fs)
+        pallas_w = 128
+        while pallas_w < w:
+            pallas_w *= 2
     fw, fn = loop_dwells
     if pll_from_start or sig.track_mode_initial == "PLL":
         # --carrier-phase runs (:135-137) and the Xona scripts
@@ -198,6 +204,13 @@ def build_code_rows(code_np, params, cf_nom):
         win = max(win, (-(-params.nmax // ptf.FUSED_TILE) + 1)
                   * ptf.FUSED_TILE)
     rows = ptk.extend_code(code_np, W, int(win * cf_nom * 1.05) + 4)
+    if not params.pallas_stream:
+        # bucket the VMEM-resident row length (a compile-key shape) to a
+        # 16384-lane multiple, zero-padded: every code family <= 10230
+        # chips lands in ONE bucket so their programs can be shared
+        pad = (-rows.shape[1]) % 16384
+        if pad:
+            rows = np.pad(rows, ((0, 0), (0, pad)))
     return rows, win
 
 
@@ -207,7 +220,8 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
                recover_after: int | None = None,
                checkpoint_path: str | None = None,
                resume_from: str | None = None,
-               coherent_blocks: int = 1, mesh=None):
+               coherent_blocks: int = 1, mesh=None,
+               preloaded=None):
     """Track `channels` (list[TrackChannel]) through the stream `fp`.
 
     emit(channel_index, row_dict) is called once per completed block, in
@@ -225,6 +239,15 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
     checkpoint's stream offset) and the run continues bit-exactly
     (failure/elastic flow, SURVEY.md §5; fault-injection test
     tests/test_checkpoint.py::test_cli_kill_resume_bitexact).
+
+    preloaded: (x_dev_pair, n_samples) — a DEVICE-RESIDENT padded chunk
+    holding the ENTIRE stream (single-chunk mode; `fp` is ignored).  The
+    batched workload runner shares one upload per band across every
+    script on that band — the per-script 67 MB tunnel upload was the
+    warm-path floor of track-all.  The pair's padded length must be a
+    multiple of 1024 with >= the engine's per-family margin beyond
+    n_samples (the runner pads generously); incompatible with
+    checkpoint/resume/mesh.
     """
     L = sig.code_length
     chips_per_sample = sig.chip_rate / fs
@@ -256,15 +279,29 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
                          coherent_blocks=coherent_blocks,
                          # the sharded scan carries no Pallas code rows
                          use_pallas=False if mesh is not None else None)
-    # normalize the per-run values out of the STATIC jit key: the scan is
-    # always called with explicit runtime ratios/coffset_df arrays below,
-    # so tracks of the same family at different carrier offsets (or FDMA
-    # channels) share one compiled program — this halves the compile
-    # count of the track-all workload's repeated families and makes the
-    # persistent cache hit across CLI invocations with any coffset
-    params = params._replace(
-        coffset_df_fixed=0,
-        carrier_ratio=float(sig.track_carrier_ratio(0)))
+    # normalize EVERY per-signal value out of the STATIC jit key: the
+    # scan is always called with explicit runtime arrays below (ratios,
+    # coffset_df, and the sigp signal-constant lanes), so signal
+    # families sharing shapes (nmax / W / code-row bucket / subcarrier
+    # kind / stream) share ONE compiled program — the track-all workload
+    # drops from 11 XLA compiles to 3, and CLI invocations hit the
+    # persistent cache across carrier offsets and families
+    from gnss_dsp_tpu.track.engine import sigp_row, subc_kind
+    from gnss_dsp_tpu.utils.twofloat import tf_from_f64
+
+    cf_hi_t, cf_lo_t = tf_from_f64(
+        np.float64(sig.chip_rate) / np.float64(fs))
+    sigp = jnp.asarray(np.tile(sigp_row(
+        cf_hi_t, cf_lo_t, sig.el_spacing, sig.code_length,
+        fs * 0.001 * sig.code_period_ms, sig.sub_blocks,
+        str(sig.subcarrier)), (len(channels), 1)))
+    if not os.environ.get("GNSS_DSP_PALLAS_V1"):
+        params = params._replace(
+            coffset_df_fixed=0,
+            carrier_ratio=1.0,
+            chip_rate=0.0, cf_hi=0.0, cf_lo=0.0,
+            code_length=0, el_spacing=0.0, code_period_ms=0.0,
+            sub=0, subcarrier=subc_kind(str(sig.subcarrier)))
     overlay = None
     if coherent_blocks > 1:
         rows = []
@@ -333,6 +370,81 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
     sub_ms = sig.code_period_ms / sig.sub_blocks
     blocks_per_scan = int(chunk_ms / sub_ms) + 2
 
+    def emit_rows(rows_f, rows_i, nb):
+        rows_f = np.asarray(rows_f)
+        rows_i = np.asarray(rows_i)
+        any_row = False
+        for b in range(nb):
+            for k, ch in enumerate(channels):
+                nn = int(rows_i[b, k, 0])
+                if nn == 0:
+                    continue
+                any_row = True
+                if k >= n_emit:        # mesh-padding clone of channel 0
+                    continue
+                ch.samp += nn
+                ch.carrier_cyc += int(rows_i[b, k, 1])
+                ch.code_cyc += int(rows_i[b, k, 2])
+                f = rows_f[b, k]
+                row = {
+                    "block": int(f[0]), "p_re": float(f[1]),
+                    "p_im": float(f[2]),
+                    "carrier_f": float(f[3]), "code_f_offset": float(f[4]),
+                    "phase_deg": float(f[5]), "early": float(f[6]),
+                    "prompt": float(f[7]), "late": float(f[8]),
+                    "code_cyc": ch.code_cyc, "code_p": float(f[9]),
+                    "carrier_cyc": ch.carrier_cyc,
+                    "carrier_p": float(f[10]),
+                    "samp": ch.samp,
+                }
+                if emit is not None:
+                    emit(k, row)
+                else:
+                    ch.rows.append(row)
+        return any_row
+
+    if preloaded is not None:
+        # compatibility gate — fall back to the streaming reader when
+        # the preloaded pad is too small for this family's margins or a
+        # stateful mode is requested
+        x_dev, n_file = preloaded
+        if (resume_from is not None or checkpoint_path is not None
+                or mesh is not None or x_dev[0].shape[0] % 1024 != 0
+                or x_dev[0].shape[0] < n_file + pad_extra):
+            preloaded = None
+    if preloaded is not None:
+        # single-chunk mode: the whole (padded) stream is already
+        # device-resident and shared across callers — no reader, no
+        # refills, no rebasing; scan until every channel stalls at the
+        # data end or max_blocks is reached
+        x_dev, n_file = preloaded
+        file_blocks = int(n_file / fs * 1000.0 / sub_ms) + 2
+        total_blocks = 0
+        while True:
+            nb = min(blocks_per_scan, file_blocks)
+            if max_blocks is not None:
+                nb = min(nb, max_blocks - total_blocks)
+            if nb <= 0:
+                break
+            state = state._replace(stalled=jnp.zeros_like(state.stalled))
+            state, rows_f, rows_i = track_scan(
+                x_dev, jnp.int32(n_file), code_tab, state, params, nb,
+                ratios=ratios, code_rows_ext=code_rows_ext,
+                overlay=overlay, coffset_df=coffset_df, sigp=sigp,
+            )
+            emitted_any = emit_rows(rows_f, rows_i, nb)
+            total_blocks += nb
+            if not emitted_any:
+                break
+            if bool(np.asarray(state.stalled).all()):
+                break
+        if recover_after >= 0:
+            acc_re = np.asarray(state.acc_re)
+            acc_im = np.asarray(state.acc_im)
+            for k, ch in enumerate(channels):
+                ch.recovered = acc_re[k] + 1j * acc_im[k]
+        return channels
+
     buf = np.zeros(0, np.complex64)
     total_blocks = resumed_blocks
     reader = _PrefetchReader(fp, chunk_samples + pad_extra)
@@ -368,43 +480,15 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
 
             state, rows_f, rows_i = track_scan_sharded(
                 mesh, x_dev, jnp.int32(len(buf)), code_tab, state, params,
-                nb, ratios=ratios, coffset_df=coffset_df,
+                nb, ratios=ratios, coffset_df=coffset_df, sigp=sigp,
             )
         else:
             state, rows_f, rows_i = track_scan(
                 x_dev, jnp.int32(len(buf)), code_tab, state, params, nb,
                 ratios=ratios, code_rows_ext=code_rows_ext, overlay=overlay,
-                coffset_df=coffset_df,
+                coffset_df=coffset_df, sigp=sigp,
             )
-        rows_f = np.asarray(rows_f)
-        rows_i = np.asarray(rows_i)
-
-        emitted_any = False
-        for b in range(nb):
-            for k, ch in enumerate(channels):
-                n = int(rows_i[b, k, 0])
-                if n == 0:
-                    continue
-                emitted_any = True
-                if k >= n_emit:        # mesh-padding clone of channel 0
-                    continue
-                ch.samp += n
-                ch.carrier_cyc += int(rows_i[b, k, 1])
-                ch.code_cyc += int(rows_i[b, k, 2])
-                f = rows_f[b, k]
-                row = {
-                    "block": int(f[0]), "p_re": float(f[1]), "p_im": float(f[2]),
-                    "carrier_f": float(f[3]), "code_f_offset": float(f[4]),
-                    "phase_deg": float(f[5]), "early": float(f[6]),
-                    "prompt": float(f[7]), "late": float(f[8]),
-                    "code_cyc": ch.code_cyc, "code_p": float(f[9]),
-                    "carrier_cyc": ch.carrier_cyc, "carrier_p": float(f[10]),
-                    "samp": ch.samp,
-                }
-                if emit is not None:
-                    emit(k, row)
-                else:
-                    ch.rows.append(row)
+        emitted_any = emit_rows(rows_f, rows_i, nb)
         total_blocks += nb
         if max_blocks is not None and total_blocks >= max_blocks:
             break

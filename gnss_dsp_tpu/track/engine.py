@@ -106,6 +106,56 @@ _TMBOC[[0, 4, 6, 29]] = 1.0
 _CBOC_W1 = np.float32(0.953463)
 _CBOC_W6 = np.float32(0.301511)
 
+# ---------------------------------------------------------------------------
+# Per-channel RUNTIME signal constants ("sigp", round 4).  These used to be
+# static TrackParams fields, which made every signal family its own
+# jit/compile key — the track-all workload paid one full XLA compile per
+# family.  As runtime data, families sharing shapes (nmax/W/code-row
+# bucket/subcarrier kind) share ONE compiled program, and channels of
+# DIFFERENT signals can in principle batch into one scan.
+# Lanes (f32; L/SUB are exact integers <= 5.11e6 < 2^24):
+SIGP_CF_HI, SIGP_CF_LO, SIGP_EL, SIGP_L, SIGP_SPP, SIGP_SUB, \
+    SIGP_A0, SIGP_A1, SIGP_A6 = range(9)
+SIGP_LANES = 9
+
+# every non-TMBOC subcarrier factor is affine in the two square waves:
+# factor = a0 + a1*boc1 + a6*boc6 (exact in f32 for the 0.5/1 weights):
+#   boc11   = boc1                      (l1cd.py:102-113)
+#   cboc    = w1*boc1 + w6*boc6        (e1b.py:46-58)
+#   rz_even = 1-bp = 0.5 + 0.5*boc1    (l2cm.py:81-91)
+#   rz_odd  = bp   = 0.5 - 0.5*boc1    (l2cl.py:45)
+SUBC_COEF = {
+    "boc11": (0.0, 1.0, 0.0),
+    "cboc": (0.0, float(_CBOC_W1), float(_CBOC_W6)),
+    "rz_even": (0.5, 0.5, 0.0),
+    "rz_odd": (0.5, -0.5, 0.0),
+}
+
+
+def subc_kind(subcarrier: str) -> str:
+    """The STATIC residue of the subcarrier: "none" (8-row correlator
+    plan), "tmboc" (needs the chip-index slot plane), or "subc" (every
+    affine-coefficient family — coefficients ride in sigp lanes)."""
+    return subcarrier if subcarrier in ("none", "tmboc", "subc") \
+        else "subc"
+
+
+def sigp_row(cf_hi, cf_lo, el, L, spp, sub, subcarrier: str):
+    a0, a1, a6 = SUBC_COEF.get(subcarrier, (0.0, 0.0, 0.0))
+    return np.array([cf_hi, cf_lo, el, L, spp, sub, a0, a1, a6],
+                    np.float32)
+
+
+def sigp_from_params(p: "TrackParams", C: int):
+    """Default sigp for callers that pass true per-family TrackParams
+    (tests, tools); track_file passes explicit sigp + bucket-normalized
+    params instead."""
+    assert p.subcarrier != "subc", \
+        "normalized params need an explicit sigp"
+    row = sigp_row(p.cf_hi, p.cf_lo, p.el_spacing, p.code_length,
+                   p.fs * 0.001 * p.code_period_ms, p.sub, p.subcarrier)
+    return jnp.asarray(np.tile(row, (C, 1)))
+
 
 class TrackState(NamedTuple):
     """Per-channel loop state ([C]-shaped leaves under vmap)."""
@@ -187,33 +237,34 @@ def _mode_of(block, p: TrackParams):
 
 
 def _track_block(x_chunk, chunk_len, code_tab, ratio, st: TrackState,
-                 p: TrackParams, s_ovl=1.0, coffset_df=None):
+                 p: TrackParams, s_ovl=1.0, coffset_df=None, sp=None):
     """One tracking sub-block for one channel.  `ratio` is the per-channel
-    carrier-aiding divisor and `coffset_df` the per-channel int32 DDS
+    carrier-aiding divisor, `coffset_df` the per-channel int32 DDS
     increment for the carrier-offset wipeoff (GLONASS FDMA channels each
     get their own: -(coffset + 562500*chan)/fs, track-glonass-l1.py:38-40,
-    161).  Returns (new_state, row_f [11], row_i [3])."""
-    L = float(p.code_length)
+    161), and `sp` the per-channel sigp lane row (runtime signal
+    constants).  Returns (new_state, row_f [11], row_i [3])."""
     fs = p.fs
-    samples_per_period = fs * 0.001 * p.code_period_ms
+    Lf = sp[SIGP_L]
+    Li = Lf.astype(jnp.int32)
+    spp = sp[SIGP_SPP]
+    sub_i = sp[SIGP_SUB].astype(jnp.int32)
+    el = sp[SIGP_EL]
 
     # --- adaptive block length targeting the next code boundary (:160-163),
-    # computed once per period; long periods run in p.sub sub-slices with
-    # the reference's int(j*n/sub) boundaries (track-galileo-e1b.py:164-166)
+    # computed once per period; long periods run in sub sub-slices with
+    # the reference's int(j*n/sub) boundaries (track-galileo-e1b.py:164-166).
+    # One unified formula: sub == 1 reduces to n = n_full exactly.
     code_p = st.code_p_hi + st.code_p_lo
     n_f = jnp.where(
-        code_p < L / 2,
-        samples_per_period * (L - code_p) / L,
-        samples_per_period * (2 * L - code_p) / L,
+        code_p < Lf / 2,
+        spp * (Lf - code_p) / Lf,
+        spp * (2 * Lf - code_p) / Lf,
     )
-    if p.sub == 1:
-        n = n_f.astype(jnp.int32)
-        sub_j_next = st.sub_j
-    else:
-        at_start = st.sub_j == 0
-        n_full = jnp.where(at_start, n_f.astype(jnp.int32), st.n_full)
-        n = _sub_block_len(st.sub_j, n_full, p.sub)
-        sub_j_next = (st.sub_j + 1) % p.sub
+    at_start = st.sub_j == 0
+    n_full = jnp.where(at_start, n_f.astype(jnp.int32), st.n_full)
+    n = _sub_block_len(st.sub_j, n_full, sub_i)
+    sub_j_next = jnp.where(st.sub_j + 1 == sub_i, 0, st.sub_j + 1)
 
     ok = jnp.logical_and(jnp.logical_not(st.stalled), st.ptr + n <= chunk_len)
 
@@ -241,56 +292,49 @@ def _track_block(x_chunk, chunk_len, code_tab, ratio, st: TrackState,
     # --- doppler-aided code rate and E/P/L correlations (:44-48):
     # cf = (code_f + carrier_f/ratio)/fs, split as exact base + dynamic part
     cf_dyn = (st.code_f_off + st.carrier_f / ratio) / fs
-    cf = jnp.float32(p.cf_hi) + cf_dyn                       # chips/sample
+    cf = sp[SIGP_CF_HI] + cf_dyn                             # chips/sample
 
     def corr(lag_chips, want_cidx=False):
         # int/frac split keeps the gather exact for multi-million-chip
         # codes (GLONASS P, L2CL) where raw f32 code phase cannot: the
         # residual fr is an error-free two-float remainder, and the
         # fractional recurrence fr + i*cf stays small
-        v = tf.tf_add_f((st.code_p_hi, st.code_p_lo), jnp.float32(lag_chips))
+        v = tf.tf_add_f((st.code_p_hi, st.code_p_lo), lag_chips)
         vint = jnp.floor(v[0] + v[1])
         fr = tf.tf_value(tf.tf_add_f(v, -vint))
         cp_i = fr + i.astype(jnp.float32) * cf
         vint_i = vint.astype(jnp.int32)
-        cidx = jnp.mod(vint_i + jnp.floor(cp_i).astype(jnp.int32),
-                       p.code_length)
+        cidx = jnp.mod(vint_i + jnp.floor(cp_i).astype(jnp.int32), Li)
         chips = jnp.take(code_tab, cidx, axis=0).astype(jnp.float32)
 
-        if p.subcarrier != "none":
+        kind = subc_kind(p.subcarrier)
+        if kind != "none":
             # floor(2*cp) mod 2 == floor(2*cp_i) mod 2 because 2*vint is
             # even; same for the 12x phase (cf. e1b.py:48-56)
             bp = jnp.mod(jnp.floor(2.0 * cp_i).astype(jnp.int32), 2)
             boc = (1 - 2 * bp).astype(jnp.float32)
-            if p.subcarrier == "boc11":
-                chips = chips * boc
-            elif p.subcarrier == "cboc":
-                bp6 = jnp.mod(jnp.floor(12.0 * cp_i).astype(jnp.int32), 2)
-                boc6 = (1 - 2 * bp6).astype(jnp.float32)
-                chips = chips * (_CBOC_W1 * boc + _CBOC_W6 * boc6)
-            elif p.subcarrier == "tmboc":
-                bp6 = jnp.mod(jnp.floor(12.0 * cp_i).astype(jnp.int32), 2)
-                boc6 = (1 - 2 * bp6).astype(jnp.float32)
+            bp6 = jnp.mod(jnp.floor(12.0 * cp_i).astype(jnp.int32), 2)
+            boc6 = (1 - 2 * bp6).astype(jnp.float32)
+            if kind == "tmboc":
                 slot = jnp.take(jnp.asarray(_TMBOC), jnp.mod(cidx, 33))
                 chips = chips * (slot * boc6 + (1.0 - slot) * boc)
-            elif p.subcarrier == "rz_even":
-                chips = chips * (1 - bp).astype(jnp.float32)
-            elif p.subcarrier == "rz_odd":
-                chips = chips * bp.astype(jnp.float32)
+            else:
+                chips = chips * (sp[SIGP_A0] + sp[SIGP_A1] * boc
+                                 + sp[SIGP_A6] * boc6)
 
         chips = jnp.where(mask, chips, 0.0)
         out = (jnp.sum(xm[0] * chips), jnp.sum(xm[1] * chips))
         return (out + (cidx,)) if want_cidx else out
 
-    p_early = corr(-p.el_spacing)
-    pp_re, pp_im, cidx_p = corr(0.0, want_cidx=True)
+    p_early = corr(-el)
+    pp_re, pp_im, cidx_p = corr(jnp.float32(0.0), want_cidx=True)
     p_prompt = (pp_re, pp_im)
-    p_late = corr(p.el_spacing)
+    p_late = corr(el)
 
-    n_full_new = st.n_full if p.sub == 1 else n_full
     new, row_f, row_i = _post_block(p_early, p_prompt, p_late, n, sub_j_next,
-                                    n_full_new, ok, cf_dyn, st, p,
-                                    s_ovl=s_ovl, coffset_df=coffset_df)
+                                    n_full, ok, cf_dyn, st, p,
+                                    s_ovl=s_ovl, coffset_df=coffset_df,
+                                    sp=sp)
 
     if p.recover_after >= 0:
         # unknown-code recovery (track-beidou-b2bi.py:47-53): once
@@ -309,7 +353,7 @@ def _track_block(x_chunk, chunk_len, code_tab, ratio, st: TrackState,
 
 def _post_block(p_early, p_prompt, p_late, n, sub_j_next, n_full_new, ok,
                 cf_dyn, st: TrackState, p: TrackParams,
-                s_ovl=1.0, coffset_df=None):
+                s_ovl=1.0, coffset_df=None, sp=None):
     """Loop-filter updates + bookkeeping after the three correlations
     (track-gps-l1.py:50-92) — shared by the XLA and Pallas paths.
 
@@ -319,7 +363,7 @@ def _post_block(p_early, p_prompt, p_late, n, sub_j_next, n_full_new, ok,
     the M-period coherent sums, updating only at period M boundaries —
     the carrier NCO phase is continuous across blocks (:38-42), so the
     cross-block sum is truly coherent."""
-    L = float(p.code_length)
+    L = sp[SIGP_L]
     fs = p.fs
 
     coh = p.coh_blocks > 1
@@ -388,7 +432,7 @@ def _post_block(p_early, p_prompt, p_late, n, sub_j_next, n_full_new, ok,
     # of n*cf (~1e-4 chips) cannot accumulate into a phase bias; dcyc counts
     # whole chips (ref quirk: code_cyc sums code_p-t, multiples of L)
     n_f = n.astype(jnp.float32)
-    adv = tf.tf_mul_f((jnp.float32(p.cf_hi), jnp.float32(p.cf_lo)), n_f)
+    adv = tf.tf_mul_f((sp[SIGP_CF_HI], sp[SIGP_CF_LO]), n_f)
     adv = tf.tf_add_f(adv, n_f * cf_dyn)
     cp_new = tf.tf_add((st.code_p_hi, st.code_p_lo), adv)
     (cp_hi, cp_lo), wraps = tf.tf_mod(cp_new, L)
@@ -434,7 +478,7 @@ def _post_block(p_early, p_prompt, p_late, n, sub_j_next, n_full_new, ok,
 
 def _step_pallas(x2, chunk_len, code_rows_ext, ratios,
                  st: TrackState, p: TrackParams, s_ovl=None,
-                 coffset_df=None):
+                 coffset_df=None, sigp=None):
     """One scan step for ALL channels through the fused Pallas correlator
     (ops/pallas_track): vectorized geometry/scalars, one kernel call, and
     the shared _post_block vmapped over channels.  x2 is the chunk pair
@@ -444,39 +488,36 @@ def _step_pallas(x2, chunk_len, code_rows_ext, ratios,
     slowdown)."""
     from gnss_dsp_tpu.ops import pallas_track as ptk
 
-    L = float(p.code_length)
     fs = p.fs
-    samples_per_period = fs * 0.001 * p.code_period_ms
+    Lf = sigp[:, SIGP_L]
+    spp = sigp[:, SIGP_SPP]
+    sub_i = sigp[:, SIGP_SUB].astype(jnp.int32)
+    el = sigp[:, SIGP_EL]
 
     code_p = st.code_p_hi + st.code_p_lo
     n_f = jnp.where(
-        code_p < L / 2,
-        samples_per_period * (L - code_p) / L,
-        samples_per_period * (2 * L - code_p) / L,
+        code_p < Lf / 2,
+        spp * (Lf - code_p) / Lf,
+        spp * (2 * Lf - code_p) / Lf,
     )
-    if p.sub == 1:
-        n = n_f.astype(jnp.int32)
-        sub_j_next = st.sub_j
-        n_full_new = st.n_full
-    else:
-        at_start = st.sub_j == 0
-        n_full_new = jnp.where(at_start, n_f.astype(jnp.int32), st.n_full)
-        n = _sub_block_len(st.sub_j, n_full_new, p.sub)
-        sub_j_next = (st.sub_j + 1) % p.sub
+    at_start = st.sub_j == 0
+    n_full_new = jnp.where(at_start, n_f.astype(jnp.int32), st.n_full)
+    n = _sub_block_len(st.sub_j, n_full_new, sub_i)
+    sub_j_next = jnp.where(st.sub_j + 1 == sub_i, 0, st.sub_j + 1)
     ok = jnp.logical_and(jnp.logical_not(st.stalled), st.ptr + n <= chunk_len)
 
     cf_dyn = (st.code_f_off + st.carrier_f / ratios) / fs
-    cf = jnp.float32(p.cf_hi) + cf_dyn
+    cf = sigp[:, SIGP_CF_HI] + cf_dyn
 
     def vf(lag):
-        v = tf.tf_add_f((st.code_p_hi, st.code_p_lo), jnp.float32(lag))
+        v = tf.tf_add_f((st.code_p_hi, st.code_p_lo), lag)
         vint = jnp.floor(v[0] + v[1])
         fr = tf.tf_value(tf.tf_add_f(v, -vint))
         return vint.astype(jnp.int32), fr
 
-    vint_e, fr_e = vf(-p.el_spacing)
-    vint_p, fr_p = vf(0.0)
-    vint_l, fr_l = vf(p.el_spacing)
+    vint_e, fr_e = vf(-el)
+    vint_p, fr_p = vf(jnp.zeros_like(el))
+    vint_l, fr_l = vf(el)
 
     carr_df = nco.freq_to_fixed_jnp(-st.carrier_f / fs)
     carr_p0 = (jnp.mod(st.carrier_p, 1.0) * jnp.float32(2.0**32)
@@ -500,7 +541,9 @@ def _step_pallas(x2, chunk_len, code_rows_ext, ratios,
         carr_p0,
         ptr_k,
     ], axis=1)
-    sf = jnp.stack([fr_e, fr_p, fr_l, cf], axis=1)
+    sf = jnp.stack([fr_e, fr_p, fr_l, cf,
+                    sigp[:, SIGP_A0], sigp[:, SIGP_A1], sigp[:, SIGP_A6]],
+                   axis=1)
 
     # per-channel sample windows are selected INSIDE the kernel (scalar-
     # prefetch index map on the shared chunk) — no host-side slicing
@@ -509,10 +552,14 @@ def _step_pallas(x2, chunk_len, code_rows_ext, ratios,
 
         sums = ptk2.epl_correlate2(
             si, sf, x2[0], x2[1], code_rows_ext,
-            n_tiles=p.pallas_tiles, W=p.pallas_w, sub=p.subcarrier,
+            n_tiles=p.pallas_tiles, W=p.pallas_w,
+            sub=subc_kind(p.subcarrier),
             stream=p.pallas_stream,
         )
     else:
+        # v1 ablation kernel: legacy per-string subcarrier branches only
+        assert p.subcarrier != "subc", \
+            "v1 kernel needs unnormalized params (GNSS_DSP_PALLAS_V1)"
         sums = ptk.epl_correlate(
             si, sf, x2[0], x2[1], code_rows_ext,
             n_tiles=p.pallas_tiles, W=p.pallas_w, sub=p.subcarrier,
@@ -525,24 +572,28 @@ def _step_pallas(x2, chunk_len, code_rows_ext, ratios,
     if s_ovl is None:
         s_ovl = jnp.ones_like(cf_dyn)
     return jax.vmap(
-        lambda pe0, pe1, pp0, pp1, pl0, pl1, nn, sj, nf, okk, cfd, s, so, cdf:
+        lambda pe0, pe1, pp0, pp1, pl0, pl1, nn, sj, nf, okk, cfd, s, so,
+        cdf, spr:
         _post_block((pe0, pe1), (pp0, pp1), (pl0, pl1), nn, sj, nf, okk,
-                    cfd, s, p, s_ovl=so, coffset_df=cdf)
+                    cfd, s, p, s_ovl=so, coffset_df=cdf, sp=spr)
     )(p_early[0], p_early[1], p_prompt[0], p_prompt[1], p_late[0], p_late[1],
-      n, sub_j_next, n_full_new, ok, cf_dyn, st, s_ovl, coffset_df)
+      n, sub_j_next, n_full_new, ok, cf_dyn, st, s_ovl, coffset_df, sigp)
 
 
 @partial(jax.jit, static_argnames=("params", "n_blocks"))
 def track_scan(x_chunk, chunk_len, code_tab, state: TrackState,
                params: TrackParams, n_blocks: int, ratios=None,
-               code_rows_ext=None, overlay=None, coffset_df=None):
+               code_rows_ext=None, overlay=None, coffset_df=None,
+               sigp=None):
     """Run up to n_blocks tracking sub-blocks for C channels over one
     device chunk.  x_chunk: split-complex pair; code_tab: int8 [C, L];
     state leaves are [C]-shaped; ratios: f32 [C] carrier-aiding divisors
     (defaults to params.carrier_ratio for every channel).  When
     params.use_pallas, code_rows_ext is the f32 extended code table from
     pallas_track.extend_code and the fused kernel replaces the gather
-    correlator.
+    correlator.  sigp: f32 [C, SIGP_LANES] runtime signal constants
+    (defaults from params; track_file passes explicit rows with
+    bucket-normalized params so families share compiled programs).
 
     Returns (state, rows_f [n_blocks, C, 11], rows_i [n_blocks, C, 3]);
     rows are NaN/0 once a channel exhausts the chunk (host refills and
@@ -553,6 +604,8 @@ def track_scan(x_chunk, chunk_len, code_tab, state: TrackState,
     if coffset_df is None:
         coffset_df = jnp.full(state.block.shape,
                               jnp.int32(params.coffset_df_fixed))
+    if sigp is None:
+        sigp = sigp_from_params(params, state.block.shape[0])
     use_pallas = params.use_pallas and code_rows_ext is not None
     if (params.fused_scan and use_pallas and overlay is None
             and params.coh_blocks == 1 and params.recover_after < 0):
@@ -561,7 +614,7 @@ def track_scan(x_chunk, chunk_len, code_tab, state: TrackState,
         x2 = (x_chunk[0].reshape(1, -1), x_chunk[1].reshape(1, -1))
         return ptf.track_scan_fused(
             x2, chunk_len, state, params, n_blocks, ratios,
-            code_rows_ext, coffset_df)
+            code_rows_ext, coffset_df, sigp=sigp)
     if use_pallas:
         # shape the chunk planes for the kernel ONCE, outside the scan
         x2 = (x_chunk[0].reshape(1, -1), x_chunk[1].reshape(1, -1))
@@ -576,13 +629,13 @@ def track_scan(x_chunk, chunk_len, code_tab, state: TrackState,
         if use_pallas:
             new, row_f, row_i = _step_pallas(
                 x2, chunk_len, code_rows_ext, ratios, st, params, s_ovl,
-                coffset_df)
+                coffset_df, sigp=sigp)
         else:
             new, row_f, row_i = jax.vmap(
-                lambda s, ct, r, so, cdf: _track_block(
+                lambda s, ct, r, so, cdf, spr: _track_block(
                     x_chunk, chunk_len, ct, r, s, params, s_ovl=so,
-                    coffset_df=cdf)
-            )(st, code_tab, ratios, s_ovl, coffset_df)
+                    coffset_df=cdf, sp=spr)
+            )(st, code_tab, ratios, s_ovl, coffset_df, sigp)
         return new, (row_f, row_i)
 
     state, (rows_f, rows_i) = jax.lax.scan(step, state, None, length=n_blocks)
