@@ -57,8 +57,78 @@ def _preload_chunk(path: str, fs: float, chunk_ms: float, cache: dict,
         return cache[path]
 
 
+def main_multi(argv=None, x_cache: dict | None = None,
+               x_cache_lock=None) -> int:
+    """Mixed-constellation single-program tracking (framework extension
+    enabled by the runtime sigp lanes — no reference analog; the
+    reference runs one process per signal):
+
+      track multi [options] input_file sample_rate carrier_offset \\
+          SIG:prn:doppler:code_offset[,SIG:prn:doppler:code_offset...]
+
+    Every channel (possibly of a DIFFERENT signal) runs in ONE compiled
+    scan over one pass of the stream.  Rows print with a "SIG:prn "
+    prefix in each signal's native 9/14-column format.  Excluded:
+    gps-l1cp (TMBOC needs its own kernel plan) and the streamed long
+    codes (gps-l2cl, glonass-l1-p/l2-p)."""
+    import optparse
+
+    from gnss_dsp_tpu.models import get_signal
+
+    if os.environ.get("GNSS_DSP_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from gnss_dsp_tpu.cli import enable_compilation_cache
+
+    enable_compilation_cache()
+    parser = optparse.OptionParser(
+        usage="track multi [options] input_filename sample_rate "
+              "carrier_offset SIG:prn:doppler:code[,SIG:prn:doppler:code]")
+    parser.disable_interspersed_args()
+    parser.add_option("--loop-dwells", default="500,500")
+    parser.add_option("--blocks", type="int", default=0)
+    parser.add_option("--chunk-ms", type="float", default=2000.0)
+    options, args = parser.parse_args(
+        sys.argv[1:] if argv is None else argv)
+    if len(args) != 4:
+        parser.error("expected file fs coffset SIG:prn:dop:code[,...]")
+    filename, fs, coffset = args[0], float(args[1]), float(args[2])
+    sigs, channels, coffsets = [], [], []
+    for spec in args[3].split(","):
+        parts = spec.split(":")
+        name, p, d, co = parts[:4]
+        sigs.append(get_signal(name))
+        channels.append(TrackChannel(prn=int(p), doppler=float(d),
+                                     code_offset=float(co)))
+        # optional 5th field: this channel's own carrier offset (mixed
+        # bands / band-center differences within one stream)
+        coffsets.append(float(parts[4]) if len(parts) > 4 else coffset)
+    dwells = tuple(int(v) for v in options.loop_dwells.split(","))
+    fp = open(filename, "rb") if filename != "-" else sys.stdin.buffer
+
+    fmts = [format_row_14 if s.row_format == 14 else format_row_9
+            for s in sigs]
+
+    def emit(k, row):
+        print(f"{sigs[k].name}:{channels[k].prn} " + fmts[k](row))
+
+    preloaded = None
+    if x_cache is not None and filename != "-":
+        preloaded = _preload_chunk(filename, fs, options.chunk_ms, x_cache,
+                                   lock=x_cache_lock)
+    track_file(sigs[0], fp, fs, coffset, channels, loop_dwells=dwells,
+               chunk_ms=options.chunk_ms,
+               max_blocks=options.blocks or None, emit=emit,
+               recover_after=-1, preloaded=preloaded, sigs=sigs,
+               coffsets=coffsets)
+    return 0
+
+
 def main(signal: str, argv=None, x_cache: dict | None = None,
          x_cache_lock=None) -> int:
+    if signal == "multi":
+        return main_multi(argv, x_cache, x_cache_lock)
     if os.environ.get("GNSS_DSP_CPU"):
         # deterministic local compiles (e.g. parity tests); must run
         # before the first backend use

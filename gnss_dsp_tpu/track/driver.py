@@ -221,7 +221,7 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
                checkpoint_path: str | None = None,
                resume_from: str | None = None,
                coherent_blocks: int = 1, mesh=None,
-               preloaded=None):
+               preloaded=None, sigs=None, coffsets=None):
     """Track `channels` (list[TrackChannel]) through the stream `fp`.
 
     emit(channel_index, row_dict) is called once per completed block, in
@@ -249,8 +249,25 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
     n_samples (the runner pads generously); incompatible with
     checkpoint/resume/mesh.
     """
+    multi = sigs is not None and len({s.name for s in sigs}) > 1
+    if sigs is None:
+        sigs = [sig] * len(channels)
+    else:
+        sigs = list(sigs)
+        assert len(sigs) == len(channels)
+    if multi:
+        # mixed-constellation single-program mode (enabled by the
+        # runtime sigp lanes): every channel carries its own signal's
+        # constants; the shared program is the shape envelope.  TMBOC
+        # needs its own kernel plan and the streamed long codes their
+        # own row layout, so both are excluded from mixes.
+        assert recover_after in (None, -1) and coherent_blocks == 1 \
+            and mesh is None, "multi-signal excludes recover/coherent/mesh"
+        assert all(s.subcarrier != "tmboc" for s in sigs), \
+            "tmboc does not mix (slot plane); track gps-l1cp separately"
+        assert all(s.code_length <= _STREAM_CODE_CHIPS for s in sigs), \
+            "streamed long codes do not mix"
     L = sig.code_length
-    chips_per_sample = sig.chip_rate / fs
     if recover_after is None:
         recover_after = 200 if sig.recover_default else -1
     if coherent_blocks > 1:
@@ -273,12 +290,28 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
                              carrier_phase=c0.carrier_phase,
                              pll_from_start=c0.pll_from_start)
                 for _ in range(pad)]
+            sigs = sigs + [sigs[0]] * pad
     params = make_params(sig, fs, coffset, loop_dwells,
                          pll_from_start=all(c.pll_from_start for c in channels),
                          recover_after=recover_after,
                          coherent_blocks=coherent_blocks,
                          # the sharded scan carries no Pallas code rows
                          use_pallas=False if mesh is not None else None)
+    if multi:
+        # shared-program shape envelope over the mixed families
+        alls = [make_params(s, fs, coffset, loop_dwells,
+                            pll_from_start=all(c.pll_from_start
+                                               for c in channels),
+                            use_pallas=params.use_pallas)
+                for s in sigs]
+        params = params._replace(
+            nmax=max(q.nmax for q in alls),
+            pallas_tiles=max(q.pallas_tiles for q in alls),
+            pallas_w=max(q.pallas_w for q in alls),
+            pallas_stream=False,
+            fused_scan=all(q.fused_scan for q in alls),
+            pallas_v2=all(q.pallas_v2 for q in alls),
+        )
     # normalize EVERY per-signal value out of the STATIC jit key: the
     # scan is always called with explicit runtime arrays below (ratios,
     # coffset_df, and the sigp signal-constant lanes), so signal
@@ -289,19 +322,25 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
     from gnss_dsp_tpu.track.engine import sigp_row, subc_kind
     from gnss_dsp_tpu.utils.twofloat import tf_from_f64
 
-    cf_hi_t, cf_lo_t = tf_from_f64(
-        np.float64(sig.chip_rate) / np.float64(fs))
-    sigp = jnp.asarray(np.tile(sigp_row(
-        cf_hi_t, cf_lo_t, sig.el_spacing, sig.code_length,
-        fs * 0.001 * sig.code_period_ms, sig.sub_blocks,
-        str(sig.subcarrier)), (len(channels), 1)))
+    def _row(s):
+        cf_hi_t, cf_lo_t = tf_from_f64(
+            np.float64(s.chip_rate) / np.float64(fs))
+        return sigp_row(cf_hi_t, cf_lo_t, s.el_spacing, s.code_length,
+                        fs * 0.001 * s.code_period_ms, s.sub_blocks,
+                        str(s.subcarrier))
+
+    sigp = jnp.asarray(np.stack([_row(s) for s in sigs]))
+    kinds = {subc_kind(str(s.subcarrier)) for s in sigs}
+    kind = "subc" if kinds - {"none"} else "none"
+    if "tmboc" in kinds:
+        kind = "tmboc"
     if not os.environ.get("GNSS_DSP_PALLAS_V1"):
         params = params._replace(
             coffset_df_fixed=0,
             carrier_ratio=1.0,
             chip_rate=0.0, cf_hi=0.0, cf_lo=0.0,
             code_length=0, el_spacing=0.0, code_period_ms=0.0,
-            sub=0, subcarrier=subc_kind(str(sig.subcarrier)))
+            sub=0, subcarrier=kind)
     overlay = None
     if coherent_blocks > 1:
         rows = []
@@ -333,10 +372,12 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
         ptr0 = np.zeros(len(channels), np.int32)
         code_p0 = np.zeros(len(channels), np.float64)
         for k, ch in enumerate(channels):
-            n0 = int(fs * 0.001 * sig.code_period_ms
-                     * (L - ch.code_offset) / L)
+            s = sigs[k]
+            Lk = s.code_length
+            n0 = int(fs * 0.001 * s.code_period_ms
+                     * (Lk - ch.code_offset) / Lk)
             ptr0[k] = n0
-            code_p0[k] = ch.code_offset + n0 * chips_per_sample
+            code_p0[k] = ch.code_offset + n0 * (s.chip_rate / fs)
 
         state = init_state(
             code_p=code_p0,
@@ -346,28 +387,57 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
             ptr=ptr0,
             recover_bins=L if recover_after >= 0 else 1,
         )
-    code_np = sig.code_table(tuple(c.prn for c in channels)).astype(np.int8)
+    tabs = None
+    if multi:
+        tabs = [np.asarray(s.code_table((c.prn,))[0], np.int8)
+                for s, c in zip(sigs, channels)]
+        Lmax = max(t.shape[0] for t in tabs)
+        code_np = np.zeros((len(channels), Lmax), np.int8)
+        for k, t in enumerate(tabs):
+            code_np[k, : t.shape[0]] = t     # gather index < L_k always
+    else:
+        code_np = sig.code_table(
+            tuple(c.prn for c in channels)).astype(np.int8)
     code_tab = jnp.asarray(code_np)
     ratios = jnp.asarray(
-        np.array([sig.track_carrier_ratio(c.prn) for c in channels],
-                 np.float32)
+        np.array([s.track_carrier_ratio(c.prn)
+                  for s, c in zip(sigs, channels)], np.float32)
     )
     # per-channel carrier-offset wipeoff: GLONASS FDMA channels sit
     # fdma_hz*chan away from the channel-0 coffset the CLI passes
-    # (track-glonass-l1.py:161: fm = -(coffset+562500*chan)/fs)
+    # (track-glonass-l1.py:161: fm = -(coffset+562500*chan)/fs);
+    # mixed-constellation channels may each carry their own band-center
+    # offset (coffsets list)
+    if coffsets is None:
+        coffsets = [coffset] * len(channels)
+    else:
+        coffsets = list(coffsets) + [coffset] * (len(channels)
+                                                 - len(coffsets))
     coffset_df = jnp.asarray(np.array(
-        [nco.freq_to_fixed(-(coffset + (sig.fdma_hz or 0.0) * c.prn) / fs)
-         for c in channels], np.int32))
+        [nco.freq_to_fixed(-(co + (s.fdma_hz or 0.0) * c.prn) / fs)
+         for s, c, co in zip(sigs, channels, coffsets)], np.int32))
     code_rows_ext = None
     pad_extra = params.nmax
     if params.use_pallas:
         # +1 tile: ptr lands mid-tile; kernel reads n_tiles+1 whole tiles
-        rows, pad_extra = build_code_rows(code_np, params,
-                                          sig.chip_rate / fs)
+        if multi:
+            # extend each channel's TRUE-length code (the Lmax-padded
+            # table would wrap the circular extension over zeros)
+            per = [build_code_rows(tabs[k][None, :], params,
+                                   sigs[k].chip_rate / fs)
+                   for k in range(len(channels))]
+            pad_extra = max(p[1] for p in per)
+            wmax = max(p[0].shape[1] for p in per)
+            rows = np.zeros((len(channels), wmax), np.float32)
+            for k, (r, _) in enumerate(per):
+                rows[k, : r.shape[1]] = r[0]
+        else:
+            rows, pad_extra = build_code_rows(code_np, params,
+                                              sig.chip_rate / fs)
         code_rows_ext = jnp.asarray(rows)
 
     chunk_samples = int(fs * chunk_ms / 1000.0)
-    sub_ms = sig.code_period_ms / sig.sub_blocks
+    sub_ms = min(s.code_period_ms / s.sub_blocks for s in sigs)
     blocks_per_scan = int(chunk_ms / sub_ms) + 2
 
     def emit_rows(rows_f, rows_i, nb):

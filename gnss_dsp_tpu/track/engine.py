@@ -141,7 +141,14 @@ def subc_kind(subcarrier: str) -> str:
 
 
 def sigp_row(cf_hi, cf_lo, el, L, spp, sub, subcarrier: str):
-    a0, a1, a6 = SUBC_COEF.get(subcarrier, (0.0, 0.0, 0.0))
+    # "none" carries the identity coefficients (1, 0, 0): ignored by a
+    # "none" program, and exactly BPSK inside a "subc" program — which
+    # is what lets channels of DIFFERENT signals batch into one
+    # mixed-constellation scan (track_file sigs=[...])
+    if subcarrier == "none":
+        a0, a1, a6 = 1.0, 0.0, 0.0
+    else:
+        a0, a1, a6 = SUBC_COEF.get(subcarrier, (0.0, 0.0, 0.0))
     return np.array([cf_hi, cf_lo, el, L, spp, sub, a0, a1, a6],
                     np.float32)
 
