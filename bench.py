@@ -399,6 +399,96 @@ def bench_acquire_coherent(name="gps-l5i", m_coh=None,
     }
 
 
+def bench_acquire_coherent_sustained(name="gps-l5i", segments=6,
+                                     dops_cfg=(-7000.0, 7000.0, 200.0)):
+    """Steady-state rate of the FUSED extended-coherent engine
+    (ops/pallas_acquire_coh spectral-combine kernel): same multi-epoch
+    one-dispatch methodology as bench_acquire_sustained.  The planted
+    PRN (on-bin doppler — the 200 Hz grid scallops a 10 ms coherent
+    span, so off-bin plants are a sensitivity test, not a perf one)
+    must win every epoch."""
+    import jax as _jax
+    import jax.numpy as jnp
+
+    from gnss_dsp_tpu.acquire import coherent as coh, engine as eng
+    from gnss_dsp_tpu.models import get_signal
+    from gnss_dsp_tpu.ops import cplx
+    from gnss_dsp_tpu.ops.pallas_acquire2 import permute_host2
+    from gnss_dsp_tpu.utils.synth import synth_iq
+
+    sig = get_signal(name)
+    sec = np.asarray(sig.secondary(1), np.float64)
+    m = len(sec)
+    N = len(sec)
+    n = int(round(sig.acq_fs * sig.acq_coherent_ms / 1000.0))
+    ms = int(2 * m * sig.acq_coherent_ms)
+    blocks = int(ms / sig.acq_coherent_ms)
+    prns = list(range(1, 33))
+    fast = coh._coh_fast_plan(sig, n, m, N, len(prns), blocks)
+    assert fast is not None, "fused coherent plan regressed"
+    mode, window_t, dw, n_valid, n1, n2, bt, pc = fast
+    dops, fixed = eng.doppler_grid(sig, dops_cfg)
+    D = len(dops)
+    seg_len = blocks * n
+    x = synth_iq(sig.code_table((25,))[0], sig.chip_rate, sig.acq_fs,
+                 segments * seg_len + 2 * n, doppler_hz=1400.0,
+                 code_phase=100.0, cn0_dbhz=42.0,
+                 carrier_ratio=sig.track_carrier_ratio(0),
+                 code_doppler_hz=1400.0, data_bits=sec,
+                 rng=np.random.default_rng(3))
+    xs = cplx.from_numpy(x)
+    cf_host = permute_host2(eng.build_code_ffts(sig, prns, n, window_t),
+                            n1, n2)
+    cf = (jnp.asarray(cf_host.real.astype(np.float32)).astype(jnp.bfloat16),
+          jnp.asarray(cf_host.imag.astype(np.float32)).astype(jnp.bfloat16))
+    a_i = np.arange(N)[:, None]
+    m_i = np.arange(blocks)[None, :]
+    sec_mat = jnp.asarray(sec[(a_i + m_i) % N].astype(np.float32))
+    fj = jnp.asarray(np.asarray(fixed, np.int32))
+    vj = jnp.ones(D, bool)
+    kw = dict(n=n, window=window_t, blocks=blocks, m_coh=m, dop_chunk=D,
+              n1=n1, n2=n2, bt=bt, pc=pc, n_valid=n_valid,
+              data_window=(dw if dw != window_t else 0), mode=mode)
+
+    @_jax.jit
+    def run_all(x0, x1, cf0, cf1, sm):
+        def seg_body(_, s):
+            xseg = (_jax.lax.dynamic_slice(x0, (s * seg_len,),
+                                           (seg_len + 2 * n,)),
+                    _jax.lax.dynamic_slice(x1, (s * seg_len,),
+                                           (seg_len + 2 * n,)))
+            mt, ci, di, al = coh.grid_search_coherent_fast(
+                xseg, (cf0, cf1), fj, vj, sm, **kw)
+            return 0, jnp.stack([mt, ci.astype(jnp.float32),
+                                 di.astype(jnp.float32),
+                                 al.astype(jnp.float32)], 0)
+        _, out = _jax.lax.scan(seg_body, 0, jnp.arange(segments))
+        return out
+
+    args = (xs[0], xs[1], cf[0], cf[1], sec_mat)
+    out = np.asarray(run_all(*args))
+    for s in range(segments):
+        assert np.argmax(out[s, 0]) == 24, (s, np.argmax(out[s, 0]))
+        code = float(out[s, 1, 24]) * sig.code_length / n % sig.code_length
+        assert abs(code - 100.0) < 2.0, (s, code)
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = np.asarray(run_all(*args))
+        best = min(best, (time.perf_counter() - t0) / segments)
+    cells = len(prns) * D * n * blocks
+    return {
+        "metric": f"{name.replace('-', '_')}"
+                  "_coherent_acq_cells_per_s_sustained",
+        "value": round(cells / best, 1),
+        "unit": f"search-cells/s sustained ({len(prns)} sat x {D} dop x "
+                f"{n} x {blocks} blk, {m}-period coherent, {N}-chip "
+                f"overlay x all alignments, {segments} epochs/dispatch, "
+                f"mode={mode})",
+        "vs_baseline": round(cells / best / _CPU_ACQ_CELLS_S, 2),
+    }
+
+
 def bench_tracking_family(name, NB=900):
     """Per-family fused tracking rate (tools/bench_track_families):
     subcarrier, sub-block and streamed-long-code engine shapes each get
@@ -525,6 +615,7 @@ def main():
             "galileo-e1b", tuple(range(1, 51)), (-9000.0, 9000.0, 50.0), 40),
         bench_acquire_sustained_fdma(),
         bench_acquire_coherent("gps-l5i"),
+        bench_acquire_coherent_sustained("gps-l5i"),
     ):
         print(json.dumps(_fill_acq_baseline(row)), flush=True)
     # --- tracking: the BPSK anchor + one row per widened engine shape
