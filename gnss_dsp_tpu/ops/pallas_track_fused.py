@@ -89,12 +89,15 @@ _PROBE = _os.environ.get("GNSS_DSP_FUSED_PROBE", "")
  _I_NFULL, _I_SUBJ) = range(8)
 _NI = 8
 # s_f32 lanes (per channel): loop state + the runtime signal constants
-# (engine.SIGP_* — static params split the compile cache per family)
+# (engine.SIGP_* — static params split the compile cache per family) +
+# the 6 extended-coherent accumulator lanes (engine TrackState.cacc:
+# E_re, E_im, P_re, P_im, L_re, L_im; zeros when coh_blocks == 1)
 (_F_CP_HI, _F_CP_LO, _F_CFO, _F_CARR_P, _F_CARR_F,
  _F_P1RE, _F_P1IM, _F_CE1, _F_DE1, _F_RATIO,
  _F_CFH, _F_CFL, _F_EL, _F_L, _F_SPP, _F_SUB,
  _F_A0, _F_A1, _F_A6) = range(19)
-_NF = 19
+_F_CACC = 19
+_NF = 25
 
 
 def _fixed_bits(frac):
@@ -108,11 +111,13 @@ def _fixed_bits(frac):
             + lo.astype(jnp.int32))
 
 
-def _kernel(s_i32, s_f32, xr_hbm, xi_hbm, code_ref,
+def _kernel(s_i32, s_f32, ovl_ref, xr_hbm, xi_hbm, code_ref,
             rows_ref, sti_out, stf_out,
-            sm_i, sm_f, buf, sems, acc, p1v, cwin=None, csem=None, *,
-            B, C, KCH, n_tiles, W, tsz, nchunk, p):
-    """p is the TrackParams NamedTuple (static python values)."""
+            sm_i, sm_f, buf, sems, acc, p1v, caccv, cwin=None, csem=None,
+            *, B, C, KCH, n_tiles, W, tsz, nchunk, nov, p):
+    """p is the TrackParams NamedTuple (static python values).  ovl_ref
+    [C, nov] is the per-channel secondary-overlay chip table (pre-rolled
+    by overlay_phase; all-ones when coh_blocks == 1)."""
     b = pl.program_id(0)
     g = pl.program_id(1)                     # channel-group index
     NG = C // KCH
@@ -162,6 +167,12 @@ def _kernel(s_i32, s_f32, xr_hbm, xi_hbm, code_ref,
             p1v[k, :] = (jnp.where(lane == 2, s_f32[k, _F_P1RE], 0.0)
                          + jnp.where(lane == 3, s_f32[k, _F_P1IM], 0.0)
                          )[0, :]
+            if p.coh_blocks > 1:
+                cv = jnp.zeros((1, 128), jnp.float32)
+                for t in range(6):
+                    cv = cv + jnp.where(lane == t,
+                                        s_f32[k, _F_CACC + t], 0.0)
+                caccv[k, :] = cv[0, :]
             return 0
 
         jax.lax.fori_loop(0, C, body, 0)
@@ -322,6 +333,21 @@ def _kernel(s_i32, s_f32, xr_hbm, xi_hbm, code_ref,
         # the scalar domain.
         accv = (acc[k, 0:1, :] if _PROBE == "tilemin"
                 else finalize_contrib(acc[k], p.subcarrier))
+        coh = p.coh_blocks > 1
+        if coh:
+            # extended-coherent (_post_block coh semantics): the overlay
+            # chip wipes this block's correlators, the loop filters see
+            # the M-period accumulated sums, and updates gate on the
+            # period-M boundary u
+            s_ovl = ovl_ref[cc, block % nov]
+            wip = accv * s_ovl
+            caccrow = caccv[pl.ds(cc, 1), :]
+            acc6 = caccrow + wip
+            u = ((block + 1) % p.coh_blocks) == 0
+        else:
+            wip = accv
+            acc6 = accv
+            u = None
         p1row = p1v[pl.ds(cc, 1), :]
         mode = jnp.where(block >= p.fll_wide_blocks, 1, 0)
         mode = jnp.where(block >= p.fll_wide_blocks + p.fll_narrow_blocks,
@@ -334,15 +360,23 @@ def _kernel(s_i32, s_f32, xr_hbm, xi_hbm, code_ref,
             phase_v = zv
             rowp = zv
             p1_new = p1row
+            cacc_new = acc6
         else:
-            # envelopes: lane j of env holds sqrt(acc[j]^2 + acc[j+1]^2)
-            sq = accv * accv
+            # row envelopes from the per-block (wiped) correlators: lane
+            # j of env holds sqrt(w[j]^2 + w[j+1]^2)
+            sq = wip * wip
             env = jnp.sqrt(sq + pltpu.roll(sq, shift=127, axis=1))
-            # e_dll = (|L| - |E|) / (|L| + |E|) at lane 0 (|L| rolled 4->0)
-            env_l0 = pltpu.roll(env, shift=124, axis=1)
-            den = env_l0 + env
+            if coh:
+                sqf = acc6 * acc6
+                env_f = jnp.sqrt(sqf + pltpu.roll(sqf, shift=127, axis=1))
+            else:
+                env_f = env
+            # e_dll = (|L| - |E|) / (|L| + |E|) at lane 0 (|L| rolled
+            # 4->0), from the coherent sums
+            env_l0 = pltpu.roll(env_f, shift=124, axis=1)
+            den = env_l0 + env_f
             dll_v = jnp.where(den == 0.0, 0.0,
-                              (env_l0 - env)
+                              (env_l0 - env_f)
                               / jnp.where(den == 0.0, 1.0, den))
             e_dll = jnp.sum(dll_v * (lane == 0).astype(jnp.float32))
 
@@ -353,22 +387,24 @@ def _kernel(s_i32, s_f32, xr_hbm, xi_hbm, code_ref,
                 t = kmath.atan(im / safe)
                 return jnp.where(v == 0.0, _PI / 2, t)
 
-            d = ref_atan_l2(accv) - ref_atan_l2(p1row)
+            d = ref_atan_l2(acc6) - ref_atan_l2(p1row)
             d = jnp.where(d > _PI / 2, _PI - d, d)
             d = jnp.where(d < -_PI / 2, -_PI - d, d)
             e_fll = jnp.sum(d * m2)
 
-            im_l2 = pltpu.roll(accv, shift=127, axis=1)
-            flip = jnp.where(accv > 0.0, 1.0, -1.0)
-            pll_v = kmath.atan2(flip * im_l2, flip * accv)
+            im_l2f = pltpu.roll(acc6, shift=127, axis=1)
+            flip = jnp.where(acc6 > 0.0, 1.0, -1.0)
+            pll_v = kmath.atan2(flip * im_l2f, flip * acc6)
             e_pll = jnp.sum(pll_v * m2)
 
-            phase_v = (kmath.atan2(im_l2, accv)
+            im_l2 = pltpu.roll(wip, shift=127, axis=1)
+            phase_v = (kmath.atan2(im_l2, wip)
                        * jnp.float32(180.0 / np.pi))
             # rows lanes 1, 2 = p_re, p_im (one roll of the masked pair)
-            rowp = pltpu.roll(accv * m23, shift=127, axis=1)
+            rowp = pltpu.roll(wip * m23, shift=127, axis=1)
             mode_is_pll = (zv + mode.astype(jnp.float32)) == 2.0
-            p1_new = jnp.where(mode_is_pll, p1row, accv * m23)
+            p1_new = jnp.where(mode_is_pll, p1row, acc6 * m23)
+            cacc_new = acc6
 
         # carrier loop (track-gps-l1.py:50-70)
         carrier_e1 = sm_f[cc, _F_CE1]
@@ -386,6 +422,17 @@ def _kernel(s_i32, s_f32, xr_hbm, xi_hbm, code_ref,
         code_e1 = sm_f[cc, _F_DE1]
         code_f_off_new = (code_f_off + jnp.float32(p.dll_k1) * e_dll
                           + jnp.float32(p.dll_k2) * (e_dll - code_e1))
+
+        if coh:
+            # loop filters advance only at the M-period boundary; the
+            # accumulator resets there (engine._post_block coh gating)
+            carrier_f_new = jnp.where(u, carrier_f_new, carrier_f)
+            carrier_e1_new = jnp.where(u, carrier_e1_new, carrier_e1)
+            code_f_off_new = jnp.where(u, code_f_off_new, code_f_off)
+            e_dll = jnp.where(u, e_dll, code_e1)
+            uv = (zv + u.astype(jnp.float32)) > 0.0
+            p1_new = jnp.where(uv, p1_new, p1row)
+            cacc_new = jnp.where(uv, 0.0, cacc_new)
 
         # carrier phase bookkeeping (:38-42)
         n_f = n.astype(jnp.float32)
@@ -436,6 +483,8 @@ def _kernel(s_i32, s_f32, xr_hbm, xi_hbm, code_ref,
         sm_f[cc, _F_CARR_P] = sel_f(t, carrier_p)
         sm_f[cc, _F_CARR_F] = sel_f(carrier_f_new, carrier_f)
         p1v[cc, :] = jnp.where(okv, p1_new, p1row)[0, :]
+        if coh:
+            caccv[cc, :] = jnp.where(okv, cacc_new, caccrow)[0, :]
         sm_f[cc, _F_CE1] = sel_f(carrier_e1_new, carrier_e1)
         sm_f[cc, _F_DE1] = sel_f(e_dll, code_e1)
         sm_i[cc, _I_PTR] = jnp.where(ok, ptr + n, ptr)
@@ -463,6 +512,11 @@ def _kernel(s_i32, s_f32, xr_hbm, xi_hbm, code_ref,
             sm_f[cc, _F_P1RE] = jnp.sum(p1v[pl.ds(cc, 1), :] * m2)
             sm_f[cc, _F_P1IM] = jnp.sum(p1v[pl.ds(cc, 1), :]
                                         * (lane == 3).astype(jnp.float32))
+            if p.coh_blocks > 1:
+                for tt in range(6):
+                    sm_f[cc, _F_CACC + tt] = jnp.sum(
+                        caccv[pl.ds(cc, 1), :]
+                        * (lane == tt).astype(jnp.float32))
             for tt in range(_NI):
                 sti_out[cc, tt] = sm_i[cc, tt]
             for tt in range(_NF):
@@ -471,11 +525,13 @@ def _kernel(s_i32, s_f32, xr_hbm, xi_hbm, code_ref,
 
 def track_scan_fused(x2, chunk_len, state, params, n_blocks: int,
                      ratios, code_rows_ext, coffset_df, sigp=None,
-                     interpret: bool = False):
+                     overlay=None, interpret: bool = False):
     """Drop-in core for track_scan on the BPSK fast path: returns
     (state', rows_f [B, C, 11], rows_i [B, C, 3]) with track_scan
     semantics.  Must be called inside a jit (track_scan dispatches here).
-    """
+    overlay [C, nov]: pre-rolled secondary chips for extended-coherent
+    mode (params.coh_blocks > 1); None -> all-ones (plain coherent /
+    non-coherent)."""
     from gnss_dsp_tpu.ops.pallas_track import env_interpret
 
     interpret = interpret or env_interpret()
@@ -511,7 +567,11 @@ def track_scan_fused(x2, chunk_len, state, params, n_blocks: int,
         state.carrier_p, state.carrier_f,
         state.prompt1_re, state.prompt1_im,
         state.carrier_e1, state.code_e1, ratios.astype(jnp.float32),
-    ], axis=1), sigp.astype(jnp.float32)], axis=1)
+    ], axis=1), sigp.astype(jnp.float32),
+        state.cacc.astype(jnp.float32)], axis=1)
+    if overlay is None:
+        overlay = jnp.ones((C, 1), jnp.float32)
+    nov = overlay.shape[1]
 
     xr8 = x2[0].reshape(nchunk // 128, 128)
     xi8 = x2[1].reshape(nchunk // 128, 128)
@@ -527,6 +587,7 @@ def track_scan_fused(x2, chunk_len, state, params, n_blocks: int,
         pltpu.SemaphoreType.DMA((2, KCH, 2)),
         pltpu.VMEM((KCH, R, 128), jnp.float32),
         pltpu.VMEM((C, 128), jnp.float32),
+        pltpu.VMEM((C, 128), jnp.float32),   # caccv (coherent accum)
     ]
     if params.pallas_stream:
         # extended rows stay in HBM ([C, K, 128] tiled layout); each tile
@@ -538,15 +599,15 @@ def track_scan_fused(x2, chunk_len, state, params, n_blocks: int,
     else:
         code_spec = pl.BlockSpec(
             (KCH, 1, code_rows_ext.shape[1] // 128, 128),
-            lambda b, g, si, sf: (g, 0, 0, 0),
+            lambda b, g, *_: (g, 0, 0, 0),
             memory_space=pltpu.VMEM)
         code_arg = code_rows_ext.reshape(C, 1, -1, 128)
 
     rows, sti, stf = pl.pallas_call(
         functools.partial(_kernel, B=B, C=C, KCH=KCH, n_tiles=n_tiles,
-                          W=W, tsz=tsz, nchunk=nchunk, p=params),
+                          W=W, tsz=tsz, nchunk=nchunk, nov=nov, p=params),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(B, C // KCH),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),   # xr (HBM)
@@ -555,7 +616,7 @@ def track_scan_fused(x2, chunk_len, state, params, n_blocks: int,
             ],
             out_specs=[
                 pl.BlockSpec((1, KCH, 1, 128),
-                             lambda b, g, si, sf: (b, g, 0, 0),
+                             lambda b, g, *_: (b, g, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -568,9 +629,10 @@ def track_scan_fused(x2, chunk_len, state, params, n_blocks: int,
             jax.ShapeDtypeStruct((C, _NF), jnp.float32),
         ],
         interpret=interpret,
-    )(s_i32, s_f32, xr8, xi8, code_arg)
+    )(s_i32, s_f32, overlay.astype(jnp.float32), xr8, xi8, code_arg)
 
     state_new = state._replace(
+        cacc=stf[:, _F_CACC:_F_CACC + 6],
         ptr=sti[:, _I_PTR],
         block=sti[:, _I_BLOCK],
         coffset_p=sti[:, _I_COFF_P].astype(jnp.uint32),

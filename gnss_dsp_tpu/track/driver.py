@@ -175,8 +175,10 @@ def make_params(sig, fs: float, coffset: float, loop_dwells=(500, 500),
         # ablation/fallback behind GNSS_DSP_PALLAS_V1
         pallas_v2=bool(use_pallas)
         and not os.environ.get("GNSS_DSP_PALLAS_V1"),
-        fused_scan=bool(use_pallas)
-        and coherent_blocks == 1 and recover_after < 0
+        # extended-coherent (coh_blocks > 1) rides the fused kernel too
+        # since round 4.2: overlay wipe + M-period accumulator + gated
+        # loop filter run in-kernel (pallas_track_fused coh section)
+        fused_scan=bool(use_pallas) and recover_after < 0
         and not os.environ.get("GNSS_DSP_NO_FUSED"),
         pallas_tiles=int(pallas_tiles),
         pallas_w=int(pallas_w),

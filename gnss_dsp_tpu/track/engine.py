@@ -614,14 +614,13 @@ def track_scan(x_chunk, chunk_len, code_tab, state: TrackState,
     if sigp is None:
         sigp = sigp_from_params(params, state.block.shape[0])
     use_pallas = params.use_pallas and code_rows_ext is not None
-    if (params.fused_scan and use_pallas and overlay is None
-            and params.coh_blocks == 1 and params.recover_after < 0):
+    if (params.fused_scan and use_pallas and params.recover_after < 0):
         from gnss_dsp_tpu.ops import pallas_track_fused as ptf
 
         x2 = (x_chunk[0].reshape(1, -1), x_chunk[1].reshape(1, -1))
         return ptf.track_scan_fused(
             x2, chunk_len, state, params, n_blocks, ratios,
-            code_rows_ext, coffset_df, sigp=sigp)
+            code_rows_ext, coffset_df, sigp=sigp, overlay=overlay)
     if use_pallas:
         # shape the chunk planes for the kernel ONCE, outside the scan
         x2 = (x_chunk[0].reshape(1, -1), x_chunk[1].reshape(1, -1))

@@ -20,7 +20,7 @@ from gnss_dsp_tpu.utils import synth
 
 
 def _setup(fs, prns, dops, phases, seconds=0.06, coffset=1250.0,
-           signame="gps-l1"):
+           signame="gps-l1", coherent_blocks=1):
     sig = get_signal(signame)
     n = int(fs * seconds)
     code_f64 = sig.code_table(tuple(prns)).astype(np.float64)
@@ -35,7 +35,8 @@ def _setup(fs, prns, dops, phases, seconds=0.06, coffset=1250.0,
     # in-kernel coffset DDS (int32 wraparound path) is exercised
     x = x * np.exp(2j * np.pi * coffset / fs * np.arange(n))
     params = make_params(sig, fs, coffset=coffset, loop_dwells=(8, 8),
-                         use_pallas=True, chan=prns[0])
+                         use_pallas=True, chan=prns[0],
+                         coherent_blocks=coherent_blocks)
     assert params.fused_scan and params.pallas_v2
     C = len(prns)
     code_np = sig.code_table(tuple(prns)).astype(np.int8)
@@ -58,10 +59,11 @@ def _setup(fs, prns, dops, phases, seconds=0.06, coffset=1250.0,
     return params, xd, n, tab, st, rows_ext, ratios, cdf
 
 
-def _run(params, xd, chunk_len, tab, st, rows_ext, ratios, cdf, nb):
+def _run(params, xd, chunk_len, tab, st, rows_ext, ratios, cdf, nb,
+         overlay=None):
     st2, rf, ri = track_scan(xd, jnp.int32(chunk_len), tab, st, params, nb,
                              ratios=ratios, code_rows_ext=rows_ext,
-                             coffset_df=cdf)
+                             coffset_df=cdf, overlay=overlay)
     return st2, np.asarray(rf), np.asarray(ri)
 
 
@@ -90,6 +92,52 @@ def test_fused_matches_scan(C, monkeypatch):
         np.testing.assert_allclose(np.asarray(getattr(st_a, name)),
                                    np.asarray(getattr(st_b, name)),
                                    rtol=2e-5, atol=2e-4, err_msg=name)
+
+
+def test_fused_matches_scan_coherent(monkeypatch):
+    """Extended-coherent mode (coh_blocks = 4, overlay wipe + gated loop
+    filter): the fused kernel's in-kernel cacc accumulator and boundary
+    gating must reproduce the scan engine's rows and state exactly —
+    including the carried cacc across two chunk launches."""
+    monkeypatch.setenv("GNSS_DSP_PALLAS_INTERPRET", "1")
+    fs = 2.048e6
+    prns = [7, 13]
+    dops = [900.0, -2200.0]
+    phases = [5.0, 417.25]
+    M = 4
+    params, xd, n, tab, st, rows_ext, ratios, cdf = _setup(
+        fs, prns, dops, phases, coherent_blocks=M)
+    assert params.coh_blocks == M and params.fused_scan
+    ovl = jnp.asarray(np.stack([
+        np.array([1, 1, -1, 1, -1, -1, 1, 1], np.float32),
+        np.roll(np.array([1, -1, -1, 1, 1, 1, -1, 1], np.float32), -3),
+    ]))
+    nb = 22
+    st_a, rf_a, ri_a = _run(params._replace(fused_scan=False), xd, n, tab,
+                            st, rows_ext, ratios, cdf, nb, overlay=ovl)
+    st_b, rf_b, ri_b = _run(params, xd, n, tab, st, rows_ext, ratios, cdf,
+                            nb, overlay=ovl)
+    np.testing.assert_array_equal(ri_a, ri_b)
+    np.testing.assert_allclose(rf_a, rf_b, rtol=2e-5, atol=2e-4)
+    for name in ("ptr", "block", "stalled"):
+        np.testing.assert_array_equal(np.asarray(getattr(st_a, name)),
+                                      np.asarray(getattr(st_b, name)), name)
+    for name in ("code_p_hi", "code_f_off", "carrier_f", "carrier_e1",
+                 "code_e1", "cacc", "prompt1_re", "prompt1_im"):
+        np.testing.assert_allclose(np.asarray(getattr(st_a, name)),
+                                   np.asarray(getattr(st_b, name)),
+                                   rtol=2e-5, atol=2e-4, err_msg=name)
+    # carry the coherent accumulator across a SECOND launch (a mid-
+    # period chunk boundary: nb=22 leaves cacc two blocks into period 6)
+    assert float(np.abs(np.asarray(st_a.cacc)).max()) > 0.0
+    st_a2, rf_a2, _ = _run(params._replace(fused_scan=False), xd, n, tab,
+                           st_a, rows_ext, ratios, cdf, 10, overlay=ovl)
+    st_b2, rf_b2, _ = _run(params, xd, n, tab, st_b, rows_ext, ratios,
+                           cdf, 10, overlay=ovl)
+    np.testing.assert_allclose(rf_a2, rf_b2, rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(st_a2.cacc),
+                               np.asarray(st_b2.cacc),
+                               rtol=2e-5, atol=2e-4)
 
 
 # (signal, fs, prns/chans, dopplers, code phases, n_sub_blocks):
