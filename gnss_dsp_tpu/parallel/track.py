@@ -27,16 +27,43 @@ def shard_channels(mesh, state: TrackState, code_tab):
 
 def track_scan_sharded(mesh, x_chunk, chunk_len, code_tab, state, params,
                        n_blocks: int, ratios=None, coffset_df=None,
-                       sigp=None, multihost: bool = False):
+                       sigp=None, code_rows_ext=None,
+                       multihost: bool = False):
     """Run track_scan with channel-sharded state.  x replicated; the
     per-channel carrier-aiding ratios and FDMA carrier-offset increments
     shard with the channels.
+
+    code_rows_ext + params.fused_scan routes each device's channel shard
+    through the FUSED whole-loop Pallas kernel under shard_map (a
+    pallas_call has no auto-partitioning rule, so the sharded scan
+    historically forced the XLA correlator — this path tracks at the
+    fused kernel's per-chip rate instead).  Without it the XLA-correlator
+    vmap scan auto-partitions as before.
 
     multihost=True runs the same program multi-controller: every process
     passes the full host copy of each operand (only its addressable
     shards are materialized) and the sharded outputs are allgathered, so
     every process returns identical full rows/state — same contract as
     parallel/acquire.acquire_signal_sharded."""
+    fused = bool(params.fused_scan) and code_rows_ext is not None
+    if fused:
+        # shard_map takes concrete operands: materialize the defaults
+        # track_scan would otherwise synthesize
+        import jax.numpy as jnp
+
+        C = state.ptr.shape[0]
+        if ratios is None:
+            ratios = jnp.full((C,), params.carrier_ratio, jnp.float32)
+        if coffset_df is None:
+            coffset_df = jnp.full((C,), params.coffset_df_fixed, jnp.int32)
+        if sigp is None:
+            from gnss_dsp_tpu.track.engine import sigp_from_params
+
+            sigp = sigp_from_params(params, C)
+    if not fused and params.use_pallas:
+        # pallas has no auto-partitioning rule; outside the shard_map
+        # route the scan must run its XLA correlator
+        params = params._replace(use_pallas=False, fused_scan=False)
     chan = NamedSharding(mesh, P("sat"))
     if multihost:
         import numpy as np
@@ -61,6 +88,8 @@ def track_scan_sharded(mesh, x_chunk, chunk_len, code_tab, state, params,
             coffset_df = g(P("sat"), coffset_df)
         if sigp is not None:
             sigp = g(P("sat", None), sigp)
+        if code_rows_ext is not None:
+            code_rows_ext = g(P("sat", None), code_rows_ext)
     else:
         rep = NamedSharding(mesh, P())
         x_chunk = jax.device_put(x_chunk, rep)
@@ -72,8 +101,29 @@ def track_scan_sharded(mesh, x_chunk, chunk_len, code_tab, state, params,
         if sigp is not None:
             sigp = jax.device_put(
                 sigp, NamedSharding(mesh, P("sat", None)))
-    out = track_scan(x_chunk, chunk_len, code_tab, state, params, n_blocks,
-                     ratios=ratios, coffset_df=coffset_df, sigp=sigp)
+        if code_rows_ext is not None:
+            code_rows_ext = jax.device_put(
+                code_rows_ext, NamedSharding(mesh, P("sat", None)))
+    if fused:
+        from gnss_dsp_tpu.parallel.acquire import shard_map
+
+        def local(x0, x1, cl, tab, st, rat, cdf, sp, rows):
+            return track_scan((x0, x1), cl, tab, st, params, n_blocks,
+                              ratios=rat, code_rows_ext=rows,
+                              coffset_df=cdf, sigp=sp)
+
+        fn = jax.jit(shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P(), P("sat"), P("sat"), P("sat"),
+                      P("sat"), P("sat"), P("sat")),
+            out_specs=(P("sat"), P(None, "sat"), P(None, "sat")),
+            check_rep=False))
+        out = fn(x_chunk[0], x_chunk[1], chunk_len, code_tab, state,
+                 ratios, coffset_df, sigp, code_rows_ext)
+    else:
+        out = track_scan(x_chunk, chunk_len, code_tab, state, params,
+                         n_blocks, ratios=ratios, coffset_df=coffset_df,
+                         sigp=sigp)
     if multihost:
         # replicate on-device (multihost_utils.process_allgather mangles
         # the middle-axis-sharded [B, C, 11] rows), then read locally

@@ -296,9 +296,11 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
     params = make_params(sig, fs, coffset, loop_dwells,
                          pll_from_start=all(c.pll_from_start for c in channels),
                          recover_after=recover_after,
-                         coherent_blocks=coherent_blocks,
-                         # the sharded scan carries no Pallas code rows
-                         use_pallas=False if mesh is not None else None)
+                         coherent_blocks=coherent_blocks)
+    if mesh is not None and not params.fused_scan:
+        # only the FUSED kernel rides shard_map (parallel/track); the
+        # non-fused pallas scan has no partitioning rule
+        params = params._replace(use_pallas=False)
     if multi:
         # shared-program shape envelope over the mixed families
         alls = [make_params(s, fs, coffset, loop_dwells,
@@ -553,6 +555,7 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
             state, rows_f, rows_i = track_scan_sharded(
                 mesh, x_dev, jnp.int32(len(buf)), code_tab, state, params,
                 nb, ratios=ratios, coffset_df=coffset_df, sigp=sigp,
+                code_rows_ext=code_rows_ext,
             )
         else:
             state, rows_f, rows_i = track_scan(

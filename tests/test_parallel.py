@@ -143,3 +143,60 @@ def test_tracking_sharded_matches_single():
         coffset_df=cdf, multihost=True)
     np.testing.assert_array_equal(np.asarray(rf_a), np.asarray(rf_c))
     np.testing.assert_array_equal(np.asarray(ri_a), np.asarray(ri_c))
+
+
+def test_tracking_sharded_fused_matches_single(monkeypatch):
+    """The FUSED whole-loop kernel under shard_map (parallel/track
+    fused branch): per-device channel shards through pallas, rows and
+    state value-equal to the single-device fused run (interpret mode on
+    the 8-virtual-device CPU mesh)."""
+    import jax.numpy as jnp
+
+    from gnss_dsp_tpu.parallel.mesh import make_mesh
+    from gnss_dsp_tpu.parallel.track import track_scan_sharded
+    from gnss_dsp_tpu.track.driver import build_code_rows, make_params
+    from gnss_dsp_tpu.track.engine import init_state, track_scan
+
+    monkeypatch.setenv("GNSS_DSP_PALLAS_INTERPRET", "1")
+    sig = get_signal("gps-l1")
+    fs = 2.048e6
+    C = 8
+    prns = list(range(1, C + 1))
+    dops = np.linspace(-3000.0, 3000.0, C)
+    phases = np.linspace(10.0, 950.0, C)
+    n = int(fs * 0.05)
+    x = sum(synth_iq(sig.code_table((p,))[0].astype(np.float64),
+                     sig.chip_rate, fs, n, doppler_hz=d, code_phase=cp,
+                     cn0_dbhz=None, carrier_ratio=1540.0)
+            for p, d, cp in zip(prns[:3], dops[:3], phases[:3]))
+    params = make_params(sig, fs, coffset=1000.0, loop_dwells=(10, 10),
+                         use_pallas=True)
+    assert params.fused_scan
+    code_np = sig.code_table(tuple(prns)).astype(np.int8)
+    rows_np, pad = build_code_rows(code_np, params, sig.chip_rate / fs)
+    rows_ext = jnp.asarray(rows_np)
+    tail = pad + (-(n + pad)) % 1024
+    xp = np.concatenate([x, np.zeros(tail, np.complex64)])
+    xd = (jnp.asarray(xp.real.astype(np.float32)),
+          jnp.asarray(xp.imag.astype(np.float32)))
+    tab = jnp.asarray(code_np)
+    ratios = jnp.full((C,), 1540.0, jnp.float32)
+    cdf = jnp.asarray(np.full(C, -250000, np.int32))
+
+    def fresh():
+        return init_state(code_p=phases, code_f_off=np.zeros(C),
+                          carrier_p=np.zeros(C), carrier_f=dops)
+
+    st_a, rf_a, ri_a = track_scan(xd, jnp.int32(n), tab, fresh(), params,
+                                  40, ratios=ratios, coffset_df=cdf,
+                                  code_rows_ext=rows_ext)
+    mesh = make_mesh(8, time_shards=1)
+    st_b, rf_b, ri_b = track_scan_sharded(
+        mesh, xd, jnp.int32(n), tab, fresh(), params, 40, ratios=ratios,
+        coffset_df=cdf, code_rows_ext=rows_ext)
+    np.testing.assert_array_equal(np.asarray(rf_a), np.asarray(rf_b))
+    np.testing.assert_array_equal(np.asarray(ri_a), np.asarray(ri_b))
+    for name in st_a._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st_a, name)),
+            np.asarray(getattr(st_b, name)), err_msg=name)
