@@ -426,7 +426,7 @@ def bench_acquire_coherent_sustained(name="gps-l5i", segments=6,
     prns = list(range(1, 33))
     fast = coh._coh_fast_plan(sig, n, m, N, len(prns), blocks)
     assert fast is not None, "fused coherent plan regressed"
-    mode, window_t, dw, n_valid, n1, n2, bt, pc = fast
+    mode, window_t, dw, n_valid, n1, n2, bt, pc, ac = fast
     dops, fixed = eng.doppler_grid(sig, dops_cfg)
     D = len(dops)
     seg_len = blocks * n
@@ -448,7 +448,7 @@ def bench_acquire_coherent_sustained(name="gps-l5i", segments=6,
     vj = jnp.ones(D, bool)
     kw = dict(n=n, window=window_t, blocks=blocks, m_coh=m, dop_chunk=D,
               n1=n1, n2=n2, bt=bt, pc=pc, n_valid=n_valid,
-              data_window=(dw if dw != window_t else 0), mode=mode)
+              data_window=(dw if dw != window_t else 0), mode=mode, ac=ac)
 
     @_jax.jit
     def run_all(x0, x1, cf0, cf1, sm):
@@ -616,6 +616,7 @@ def main():
         bench_acquire_sustained_fdma(),
         bench_acquire_coherent("gps-l5i"),
         bench_acquire_coherent_sustained("gps-l5i"),
+        bench_acquire_coherent_sustained("beidou-b1i"),
     ):
         print(json.dumps(_fill_acq_baseline(row)), flush=True)
     # --- tracking: the BPSK anchor + one row per widened engine shape

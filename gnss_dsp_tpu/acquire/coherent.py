@@ -38,13 +38,13 @@ from gnss_dsp_tpu.acquire import engine as _eng
 
 @partial(jax.jit, static_argnames=("n", "window", "blocks", "m_coh",
                                    "dop_chunk", "n1", "n2", "bt", "pc",
-                                   "n_valid", "data_window", "mode"))
+                                   "n_valid", "data_window", "mode", "ac"))
 def grid_search_coherent_fast(x, code_f_perm, dopp_fixed, dopp_valid,
                               sec_mat, n: int, window: int, blocks: int,
                               m_coh: int, dop_chunk: int,
                               n1: int, n2: int, bt: int, pc: int,
                               n_valid: int = 0, data_window: int = 0,
-                              mode: str = "spec"):
+                              mode: str = "spec", ac: int = 0):
     """Coherent search on the fused surface kernel
     (ops/pallas_acquire_coh) — same per-(alignment, group) math as
     grid_search_coherent but the per-block complex surfaces and the
@@ -104,17 +104,40 @@ def grid_search_coherent_fast(x, code_f_perm, dopp_fixed, dopp_valid,
                 return jnp.einsum("dagm,dgmw->dgaw", a, b,
                                   preferred_element_type=jnp.float32)
 
-            Far = es(wg[0], Fg[0]) - es(wg[1], Fg[1])
-            Fai = es(wg[0], Fg[1]) + es(wg[1], Fg[0])
-            F2 = (Far.reshape(dop_chunk, G * A, window).astype(bf),
-                  Fai.reshape(dop_chunk, G * A, window).astype(bf))
+            Far = (es(wg[0], Fg[0]) - es(wg[1], Fg[1])).astype(bf)
+            Fai = (es(wg[0], Fg[1]) + es(wg[1], Fg[0])).astype(bf)
+            # alignment chunks (plan_coh_spec.ac): when all A alignment
+            # surfaces don't fit VMEM, run ceil(A/ac) passes over
+            # (wrapped) alignment subsets and fold the max; wrapped pad
+            # ids duplicate early alignments — ties resolve to the
+            # first pass, and reported ids stay real
+            acs = ac or A
+            a_chunks = []
+            for a0 in range(0, A, acs):
+                ids = [(a0 + r) % A for r in range(acs)]
+                a_chunks.append((a0, jnp.asarray(ids, jnp.int32)))
 
         outs = []
         for i in range(0, P, pc):
             cf = (code_f_perm[0][i:i + pc], code_f_perm[1][i:i + pc])
             if mode == "spec":
-                outs.append(corr_surface_coh_spec(
-                    F2, cf, n1=n1, n2=n2, bt=bt, A=A, n_valid=n_valid))
+                parts = []
+                for a0, ids in a_chunks:
+                    F2 = (jnp.take(Far, ids, axis=2
+                                   ).reshape(dop_chunk, G * acs, window),
+                          jnp.take(Fai, ids, axis=2
+                                   ).reshape(dop_chunk, G * acs, window))
+                    pk, ci, al_r = corr_surface_coh_spec(
+                        F2, cf, n1=n1, n2=n2, bt=bt, A=acs,
+                        n_valid=n_valid)
+                    parts.append((pk, ci, jnp.take(ids, al_r)))
+                pk, ci, al_r = parts[0]
+                for pk2, ci2, al2 in parts[1:]:
+                    upd = pk2 > pk
+                    pk = jnp.where(upd, pk2, pk)
+                    ci = jnp.where(upd, ci2, ci)
+                    al_r = jnp.where(upd, al2, al_r)
+                outs.append((pk, ci, al_r))
             else:
                 outs.append(corr_surface_coh(
                     F, cf, cosang, sinang, sec_mat,
@@ -269,7 +292,7 @@ def _coh_fast_plan(sig, n: int, m_coh: int, A: int, P: int,
             return ("spec", window, dw, n_valid) + p
         p = pac.plan_coh(window, m_coh, A, P)
         if p is not None:
-            return ("blk", window, dw, n_valid) + p
+            return ("blk", window, dw, n_valid) + p + (0,)
         return None
 
     r = plan_at(dw, 0)
@@ -342,7 +365,7 @@ def acquire_signal_coherent(sig, x_int, prns, doppler_search,
 
         import ml_dtypes
 
-        mode, window_t, dw, n_valid, n1, n2, bt, pc = fast
+        mode, window_t, dw, n_valid, n1, n2, bt, pc, ac = fast
         cf_host = permute_host2(cf_host, n1, n2)
         # bf16 cast on the HOST: halves the code-spectra upload (the
         # dominant one-shot cost over the ~14 MB/s axon tunnel)
@@ -356,7 +379,7 @@ def acquire_signal_coherent(sig, x_int, prns, doppler_search,
             jnp.asarray(sec_mat), n=n, window=window_t, blocks=blocks,
             m_coh=int(m_coh), dop_chunk=int(dop_chunk),
             n1=n1, n2=n2, bt=bt, pc=pc, n_valid=n_valid,
-            data_window=(dw if dw != window_t else 0), mode=mode)
+            data_window=(dw if dw != window_t else 0), mode=mode, ac=ac)
         linear = dw == 2 * n
     else:
         cf = cplx.from_numpy(cf_host)

@@ -90,36 +90,58 @@ def plan_coh(window: int, m_coh: int, A: int, P: int):
     return n1, n2, bt, min(pc, P)
 
 
+def _vmem_spec(window, ac, bt, pc):
+    """Measured scoped-VMEM model for the spec kernel: ~8 bytes/cell per
+    resident alignment slot (the f32 accQ slot + its accumulate shadow —
+    A=20 at W=65536 measured 16.40M, matching 8*A*W + the fixed terms),
+    ~6 live [bt, W] f32 stage intermediates, double-buffered bf16 F
+    tiles, code bank, DFT mats."""
+    return (8 * ac * window * pc + 24 * bt * window
+            + 8 * bt * window + 8 * pc * window + 1.5e6)
+
+
+_VMEM_LIMIT = 15.5e6
+
+
 def plan_coh_spec(window: int, G: int, A: int, P: int):
-    """(n1, n2, bt, pc) for the SPECTRAL-COMBINE coherent kernel
+    """(n1, n2, bt, pc, ac) for the SPECTRAL-COMBINE coherent kernel
     (corr_surface_coh_spec) — the fast path.  Requires an aligned split
     with g == 1 (n1 >= 128): the per-row alignment-slot accumulation
-    doesn't support lane-packed blocks.  Returns None when infeasible
-    (the block kernel / XLA engine covers the rest)."""
+    doesn't support lane-packed blocks.  ac <= A is the alignment-chunk
+    size: when all A alignment surfaces don't fit VMEM (CS25-class),
+    the engine runs ceil(A/ac) kernel passes over alignment subsets —
+    each pass repeats the IDFT, so passes are minimized first, then
+    bt*pc (cells per grid step) maximized.  Returns None when even
+    ac = 1 doesn't fit (the block kernel / XLA engine covers it)."""
     try:
         n1, n2 = plan_aligned(window)
     except ValueError:
         return None
     if pick_g(n1) != 1:
         return None
-    GA = G * A
-    # VMEM: accQ pc*4*A*W + ~6 live [bt, W] f32 + double-buffered bf16
-    # F tiles + mats (~1.3 MB) under ~14 MB
+    ac_max = 0
+    for ac in range(A, 0, -1):
+        if _vmem_spec(window, ac, 1, 1) <= _VMEM_LIMIT:
+            ac_max = ac
+            break
+    if not ac_max:
+        return None
+    passes = -(-A // ac_max)
+    ac = -(-A // passes)            # smallest ac with that pass count
     best = None
+    GA = G * ac
     for bt in range(GA, 0, -1):
         if GA % bt:
             continue
         for pc in range(min(P, 8), 0, -1):
-            vmem = (4 * A * window * pc + 24 * bt * window
-                    + 8 * bt * window + 8 * pc * window + 1.5e6)
-            if vmem <= 14e6:
-                work = bt * pc          # cells per grid step
+            if _vmem_spec(window, ac, bt, pc) <= _VMEM_LIMIT:
+                work = bt * pc
                 if best is None or work > best[0]:
                     best = (work, bt, pc)
                 break
     if best is None:
         return None
-    return n1, n2, best[1], best[2]
+    return n1, n2, best[1], best[2], ac
 
 
 def _finalize_max(accQ, p, A, n1, n2, g, n_valid, out_ref):
@@ -168,7 +190,15 @@ def _kernel_spec(fr_ref, fi_ref, cr_ref, ci_ref,
 
     @pl.when(b == 0)
     def _():
-        accQ[...] = jnp.zeros_like(accQ)
+        # per-slot zeroing: a whole-array jnp.zeros_like materializes
+        # the full [P, A, n2, n1] constant as a stack temporary and
+        # doubles the accumulator's scoped-VMEM footprint (measured:
+        # A=25 at W=65536 OOMs by exactly that margin)
+        def zp(p, _):
+            for a in range(A):
+                accQ[p, a] = jnp.zeros((n2, n1), jnp.float32)
+            return 0
+        jax.lax.fori_loop(0, P, zp, 0)
 
     fr = fr_ref[0]                   # [bt, n1, n2] bf16
     fi = fi_ref[0]
@@ -301,8 +331,15 @@ def _kernel(cos_ref, sin_ref, sec_ref, fr_ref, fi_ref, cr_ref, ci_ref,
 
     @pl.when(b == 0)
     def _():
-        accC[...] = jnp.zeros_like(accC)
-        accQ[...] = jnp.zeros_like(accQ)
+        # per-slot zeroing (see _kernel_spec: whole-array zeros_like
+        # doubles the scoped-VMEM footprint)
+        def zp(p, _):
+            for a in range(A):
+                accC[p, 0, a] = jnp.zeros((n2, g * n1), jnp.float32)
+                accC[p, 1, a] = jnp.zeros((n2, g * n1), jnp.float32)
+                accQ[p, a] = jnp.zeros((n2, g * n1), jnp.float32)
+            return 0
+        jax.lax.fori_loop(0, P, zp, 0)
 
     fr = fr_ref[0]                   # [bt, n1, n2] bf16
     fi = fi_ref[0]
