@@ -310,7 +310,7 @@ def _coh_fast_plan(sig, n: int, m_coh: int, A: int, P: int,
 def acquire_signal_coherent(sig, x_int, prns, doppler_search,
                             m_coh: int | None = None, ms: int | None = None,
                             dop_chunk: int | None = None,
-                            engine: str = "auto"):
+                            engine: str = "auto", chan: int = 0):
     """Secondary-wiped extended-coherent acquisition of `sig`.
 
     m_coh defaults to the full secondary length (NH10 -> 10 ms, NH20 ->
@@ -343,7 +343,7 @@ def acquire_signal_coherent(sig, x_int, prns, doppler_search,
         raise ValueError("no fused coherent plan for this shape")
     window = fast[1] if fast else n     # XLA path: circular, no pad
 
-    dops, fixed = _eng.doppler_grid(sig, doppler_search)
+    dops, fixed = _eng.doppler_grid(sig, doppler_search, chan)
     if dop_chunk is None:
         if fast:
             # fast path materializes only [DC, B, W] bf16 spectra

@@ -141,6 +141,20 @@ def main(signal: str, argv=None, x_cache: dict | None = None) -> int:
         return 0
 
     if fdma:
+        if options.coherent:
+            # extended-coherent per FDMA channel: each channel's band
+            # offset folds into its own doppler grid (the channels
+            # share one compiled program — only the NCO array differs)
+            from gnss_dsp_tpu.acquire.coherent import (
+                acquire_signal_coherent)
+
+            m = None if options.coherent < 0 else options.coherent
+            for chan in prns:
+                for r in acquire_signal_coherent(sig, xb, [chan], dops,
+                                                 m_coh=m, ms=ms,
+                                                 chan=chan):
+                    print(_fmt_row(sig, r))
+            return 0
         # all channels in one grid program (each channel's band is one
         # doppler chunk of the shared m-sequence search)
         for r in acquire_signal_fdma(sig, xb, prns, doppler_search=dops,

@@ -79,6 +79,33 @@ def test_coherent_no_secondary_plain():
     assert _err_chips(sig, r, cp0) < 1.0, r
 
 
+def test_coherent_fdma_channel_offset():
+    """GLONASS (FDMA, no secondary): plain extended-coherent per channel
+    folds the channel's band offset into its doppler grid — a planted
+    channel -3 signal is found at its true residual doppler and code
+    phase (the CLI's `--channel K --coherent M` path)."""
+    from gnss_dsp_tpu.acquire.coherent import acquire_signal_coherent
+
+    sig = dataclasses.replace(get_signal("glonass-l1"), acq_fs=2.048e6)
+    chan, doppler, cp0 = -3, 40.0, 123.0
+    fs = sig.acq_fs
+    n = int(fs * 0.014)
+    x = synth_iq(sig.code_table((chan,))[0], sig.chip_rate, fs, n,
+                 doppler_hz=doppler + sig.fdma_hz * chan, code_phase=cp0,
+                 cn0_dbhz=None, carrier_ratio=sig.track_carrier_ratio(chan),
+                 # the FDMA band offset is not doppler: code rate rides
+                 # only the true doppler (test_parallel.make_iq)
+                 code_doppler_hz=doppler)
+    r = acquire_signal_coherent(sig, x, [chan], (-90.0, 91.0, 30.0),
+                                m_coh=8, ms=8, chan=chan)[0]
+    assert _err_chips(sig, r, cp0) < 1.0, r
+    assert abs(r.doppler - doppler) <= 30.0, r
+    # wrong channel's offset must miss by the FDMA spacing
+    r0 = acquire_signal_coherent(sig, x, [chan], (-90.0, 91.0, 30.0),
+                                 m_coh=8, ms=8, chan=0)[0]
+    assert r0.metric < r.metric
+
+
 def test_acquire_to_track_overlay_handoff():
     """Coherent acquisition returns the overlay alignment; mapped through
     CoherentAcqResult.track_overlay_phase it seeds coherent tracking
