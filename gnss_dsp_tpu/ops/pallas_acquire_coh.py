@@ -100,7 +100,10 @@ def _vmem_spec(window, ac, bt, pc):
             + 8 * bt * window + 8 * pc * window + 1.5e6)
 
 
-_VMEM_LIMIT = 15.5e6
+# calibrated between the measured-fit (L5I A=10 bt=4 pc=1, model 15.65M,
+# compiles and runs) and the measured-OOM (A=20 bt=2 pc=1, model 16.67M,
+# actual 16.40M vs the 16M scoped limit) points
+_VMEM_LIMIT = 15.75e6
 
 
 def plan_coh_spec(window: int, G: int, A: int, P: int):
