@@ -239,8 +239,9 @@ def main(signal: str, argv=None, x_cache: dict | None = None,
                      f"{signal} tracks in {sig.sub_blocks} sub-blocks")
     mesh = None
     if options.mesh:
-        if options.coherent > 1:
-            parser.error("--mesh and --coherent are mutually exclusive")
+        # --mesh composes with --coherent since round 4.2: the overlay
+        # accumulator rides the fused shard_map branch (parallel/track);
+        # track_file asserts if the fused kernel is unavailable
         from gnss_dsp_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(None if options.mesh < 0 else options.mesh,

@@ -27,7 +27,7 @@ def shard_channels(mesh, state: TrackState, code_tab):
 
 def track_scan_sharded(mesh, x_chunk, chunk_len, code_tab, state, params,
                        n_blocks: int, ratios=None, coffset_df=None,
-                       sigp=None, code_rows_ext=None,
+                       sigp=None, code_rows_ext=None, overlay=None,
                        multihost: bool = False):
     """Run track_scan with channel-sharded state.  x replicated; the
     per-channel carrier-aiding ratios and FDMA carrier-offset increments
@@ -60,6 +60,10 @@ def track_scan_sharded(mesh, x_chunk, chunk_len, code_tab, state, params,
             from gnss_dsp_tpu.track.engine import sigp_from_params
 
             sigp = sigp_from_params(params, C)
+        if overlay is None:
+            overlay = jnp.ones((C, 1), jnp.float32)
+    else:
+        assert overlay is None, "overlay tracking needs the fused branch"
     if not fused and params.use_pallas:
         # pallas has no auto-partitioning rule; outside the shard_map
         # route the scan must run its XLA correlator
@@ -90,6 +94,8 @@ def track_scan_sharded(mesh, x_chunk, chunk_len, code_tab, state, params,
             sigp = g(P("sat", None), sigp)
         if code_rows_ext is not None:
             code_rows_ext = g(P("sat", None), code_rows_ext)
+        if overlay is not None:
+            overlay = g(P("sat", None), overlay)
     else:
         rep = NamedSharding(mesh, P())
         x_chunk = jax.device_put(x_chunk, rep)
@@ -104,22 +110,25 @@ def track_scan_sharded(mesh, x_chunk, chunk_len, code_tab, state, params,
         if code_rows_ext is not None:
             code_rows_ext = jax.device_put(
                 code_rows_ext, NamedSharding(mesh, P("sat", None)))
+        if overlay is not None:
+            overlay = jax.device_put(
+                overlay, NamedSharding(mesh, P("sat", None)))
     if fused:
         from gnss_dsp_tpu.parallel.acquire import shard_map
 
-        def local(x0, x1, cl, tab, st, rat, cdf, sp, rows):
+        def local(x0, x1, cl, tab, st, rat, cdf, sp, rows, ovl):
             return track_scan((x0, x1), cl, tab, st, params, n_blocks,
                               ratios=rat, code_rows_ext=rows,
-                              coffset_df=cdf, sigp=sp)
+                              coffset_df=cdf, sigp=sp, overlay=ovl)
 
         fn = jax.jit(shard_map(
             local, mesh=mesh,
             in_specs=(P(), P(), P(), P("sat"), P("sat"), P("sat"),
-                      P("sat"), P("sat"), P("sat")),
+                      P("sat"), P("sat"), P("sat"), P("sat")),
             out_specs=(P("sat"), P(None, "sat"), P(None, "sat")),
             check_rep=False))
         out = fn(x_chunk[0], x_chunk[1], chunk_len, code_tab, state,
-                 ratios, coffset_df, sigp, code_rows_ext)
+                 ratios, coffset_df, sigp, code_rows_ext, overlay)
     else:
         out = track_scan(x_chunk, chunk_len, code_tab, state, params,
                          n_blocks, ratios=ratios, coffset_df=coffset_df,

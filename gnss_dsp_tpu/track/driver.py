@@ -257,14 +257,19 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
     else:
         sigs = list(sigs)
         assert len(sigs) == len(channels)
+    fused_avail = (_pallas_ok(sig, fs)
+                   and not os.environ.get("GNSS_DSP_NO_FUSED"))
     if multi:
         # mixed-constellation single-program mode (enabled by the
         # runtime sigp lanes): every channel carries its own signal's
         # constants; the shared program is the shape envelope.  TMBOC
         # needs its own kernel plan and the streamed long codes their
-        # own row layout, so both are excluded from mixes.
-        assert recover_after in (None, -1) and coherent_blocks == 1 \
-            and mesh is None, "multi-signal excludes recover/coherent/mesh"
+        # own row layout, so both are excluded from mixes.  --mesh mixes
+        # ride the fused shard_map path (channels + sigp rows shard).
+        assert recover_after in (None, -1) and coherent_blocks == 1, \
+            "multi-signal excludes recover/coherent"
+        assert mesh is None or fused_avail, \
+            "multi-signal under --mesh needs the fused kernel"
         assert all(s.subcarrier != "tmboc" for s in sigs), \
             "tmboc does not mix (slot plane); track gps-l1cp separately"
         assert all(s.code_length <= _STREAM_CODE_CHIPS for s in sigs), \
@@ -281,7 +286,9 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
         # channel-sharded scan (parallel/track.track_scan_sharded): pad
         # the channel list to a multiple of the sat axis with clones of
         # channel 0 (their rows are computed but never emitted)
-        assert coherent_blocks == 1, "--mesh excludes coherent tracking"
+        assert coherent_blocks == 1 or fused_avail, \
+            "--mesh coherent tracking needs the fused kernel " \
+            "(overlay rides the shard_map branch)"
         nsat = mesh.shape["sat"]
         pad = (-len(channels)) % nsat
         if pad:
@@ -555,7 +562,7 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
             state, rows_f, rows_i = track_scan_sharded(
                 mesh, x_dev, jnp.int32(len(buf)), code_tab, state, params,
                 nb, ratios=ratios, coffset_df=coffset_df, sigp=sigp,
-                code_rows_ext=code_rows_ext,
+                code_rows_ext=code_rows_ext, overlay=overlay,
             )
         else:
             state, rows_f, rows_i = track_scan(

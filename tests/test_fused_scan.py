@@ -209,3 +209,36 @@ def test_fused_stall_refill_matches_scan(monkeypatch):
     np.testing.assert_allclose(rf_a[:n1], rf_1[:n1], rtol=2e-5, atol=2e-4)
     np.testing.assert_allclose(rf_a[n1:], rf_2, rtol=2e-5, atol=2e-4)
     np.testing.assert_array_equal(ri_a[n1:], ri_2)
+
+
+def test_fused_coherent_sharded_matches_single(monkeypatch):
+    """Extended-coherent tracking under the mesh: overlay rides the
+    fused shard_map branch (parallel/track) — rows and state bit-equal
+    to the single-device fused coherent run."""
+    monkeypatch.setenv("GNSS_DSP_PALLAS_INTERPRET", "1")
+    from gnss_dsp_tpu.parallel.mesh import make_mesh
+    from gnss_dsp_tpu.parallel.track import track_scan_sharded
+
+    fs = 2.048e6
+    prns = [7, 13]
+    dops = [900.0, -2200.0]
+    phases = [5.0, 417.25]
+    M = 4
+    params, xd, n, tab, st, rows_ext, ratios, cdf = _setup(
+        fs, prns, dops, phases, coherent_blocks=M)
+    ovl = jnp.asarray(np.stack([
+        np.array([1, 1, -1, 1, -1, -1, 1, 1], np.float32),
+        np.roll(np.array([1, -1, -1, 1, 1, 1, -1, 1], np.float32), -3),
+    ]))
+    st_a, rf_a, ri_a = _run(params, xd, n, tab, st, rows_ext, ratios,
+                            cdf, 20, overlay=ovl)
+    mesh = make_mesh(2, time_shards=1)
+    st_b, rf_b, ri_b = track_scan_sharded(
+        mesh, xd, jnp.int32(n), tab, st, params, 20, ratios=ratios,
+        coffset_df=cdf, code_rows_ext=rows_ext, overlay=ovl)
+    np.testing.assert_array_equal(rf_a, np.asarray(rf_b))
+    np.testing.assert_array_equal(ri_a, np.asarray(ri_b))
+    for name in st_a._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st_a, name)),
+            np.asarray(getattr(st_b, name)), err_msg=name)

@@ -121,3 +121,31 @@ def test_multi_cli(capsys):
             assert len(mine[0].split()) == want + 1, mine[0]
     finally:
         os.unlink(path)
+
+
+def test_multi_mesh_sharded(monkeypatch):
+    """Mixed-constellation tracking under --mesh: channels + their sigp
+    rows shard over 'sat' through the fused shard_map branch
+    (parallel/track) — same trajectories as the unsharded multi run."""
+    monkeypatch.setenv("GNSS_DSP_PALLAS_INTERPRET", "1")
+    from gnss_dsp_tpu.track import driver as drv
+
+    monkeypatch.setattr(drv, "_pallas_ok", lambda *a, **k: True)
+    from gnss_dsp_tpu.parallel.mesh import make_mesh
+
+    data = _scene()
+    sigs = [get_signal(name) for name, *_ in TRIO]
+
+    def run(mesh):
+        chans = [TrackChannel(prn=p, doppler=d, code_offset=cp)
+                 for _, p, d, cp in TRIO]
+        track_file(sigs[0], io.BytesIO(data), FS, COFF, chans,
+                   loop_dwells=(8, 8), max_blocks=32, sigs=sigs,
+                   mesh=mesh)
+        return [c.rows for c in chans]
+
+    a = run(None)
+    b = run(make_mesh(8, time_shards=1))
+    for k, (name, *_rest) in enumerate(TRIO):
+        np.testing.assert_array_equal(_rows(a[k]), _rows(b[k]),
+                                      err_msg=name)
