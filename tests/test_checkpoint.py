@@ -178,3 +178,43 @@ def test_cli_kill_resume_bitexact(tmp_path):
     combined += rows_c
     assert combined == rows_a, (
         killed, resume_block, len(rows_b), len(rows_c), len(rows_a))
+
+
+def test_mesh_checkpoint_resume_bitexact(tmp_path):
+    """--mesh composes with --checkpoint/--resume: the sharded run's
+    per-chunk checkpoints resume bit-exactly (rows keyed by block — a
+    max_blocks break leaves the final chunk un-checkpointed, so the
+    resumed run legitimately replays the tail with identical values)."""
+    import io
+
+    from gnss_dsp_tpu.parallel.mesh import make_mesh
+    from gnss_dsp_tpu.track.driver import TrackChannel, track_file
+    from gnss_dsp_tpu.utils.synth import to_int8_iq
+
+    sig = get_signal("gps-l1")
+    fs = 2.048e6
+    x = synth_iq(sig.code_table((7,))[0], sig.chip_rate, fs,
+                 int(fs * 0.1), doppler_hz=900.0, code_phase=5.0,
+                 cn0_dbhz=None, carrier_ratio=1540.0)
+    raw = to_int8_iq(x, scale=40.0)
+    ck = os.path.join(tmp_path, "mesh.npz")
+
+    def run(**kw):
+        ch = [TrackChannel(prn=7, doppler=900.0, code_offset=5.0)]
+        track_file(sig, io.BytesIO(raw), fs, 0.0, ch,
+                   loop_dwells=(8, 8), **kw)
+        return ch[0]
+
+    mesh = make_mesh(8, time_shards=1)
+    c1 = run(max_blocks=90, mesh=mesh)
+    c2 = run(max_blocks=40, mesh=mesh, checkpoint_path=ck, chunk_ms=30.0)
+    c3 = run(max_blocks=90, mesh=mesh, checkpoint_path=ck,
+             resume_from=ck, chunk_ms=30.0)
+    key = lambda r: (r["carrier_f"], r["code_p"], r["p_re"], r["p_im"])
+    full = {r["block"]: key(r) for r in c1.rows}
+    res = {r["block"]: key(r) for r in c2.rows}
+    res.update({r["block"]: key(r) for r in c3.rows})
+    ks = sorted(set(full) & set(res))
+    assert len(ks) >= 80, len(ks)
+    for k in ks:
+        assert full[k] == res[k], (k, full[k], res[k])
