@@ -123,10 +123,17 @@ def grid_search_coherent_fast(x, code_f_perm, dopp_fixed, dopp_valid,
             if mode == "spec":
                 parts = []
                 for a0, ids in a_chunks:
-                    F2 = (jnp.take(Far, ids, axis=2
-                                   ).reshape(dop_chunk, G * acs, window),
-                          jnp.take(Fai, ids, axis=2
-                                   ).reshape(dop_chunk, G * acs, window))
+                    if len(a_chunks) == 1:
+                        # single pass covers all alignments: no gather
+                        F2 = (Far.reshape(dop_chunk, G * acs, window),
+                              Fai.reshape(dop_chunk, G * acs, window))
+                    else:
+                        F2 = (jnp.take(Far, ids, axis=2
+                                       ).reshape(dop_chunk, G * acs,
+                                                 window),
+                              jnp.take(Fai, ids, axis=2
+                                       ).reshape(dop_chunk, G * acs,
+                                                 window))
                     pk, ci, al_r = corr_surface_coh_spec(
                         F2, cf, n1=n1, n2=n2, bt=bt, A=acs,
                         n_valid=n_valid)

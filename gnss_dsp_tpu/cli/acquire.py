@@ -24,28 +24,29 @@ from gnss_dsp_tpu.utils import io as uio
 
 
 def read_samples(filename, n: int, cache: dict | None = None):
-    """n complex samples from `filename` — host complex64, or a DEVICE
-    split-complex pair slice when `cache` is given (the batched workload
-    runner uploads each demuxed band ONCE and every script on that band
-    slices it on-device instead of re-reading + re-uploading ~70 MB)."""
+    """n complex samples from `filename` as a DEVICE split-complex pair
+    (raw int8 uploaded, converted on-device — 2 bytes/sample over the
+    host link instead of 8, cplx.from_int8_iq).  With `cache`, the
+    batched workload runner uploads each demuxed band ONCE and every
+    script on that band slices it on-device."""
+    from gnss_dsp_tpu.ops import cplx
+
     if cache is not None and filename != "-":
         ent = cache.get(filename)
         if ent is None:
-            from gnss_dsp_tpu.ops import cplx
-            from gnss_dsp_tpu.utils import io as _uio
-
             with open(filename, "rb") as fp:
-                full = _uio.get_samples_complex(
-                    fp, os.path.getsize(filename) // 2)
-            ent = cache[filename] = cplx.from_numpy(full)
+                z = fp.read(2 * (os.path.getsize(filename) // 2))
+            ent = cache[filename] = cplx.from_int8_iq(z)
         if ent[0].shape[0] < n:
             return None
         return (ent[0][:n], ent[1][:n])
     fp = open(filename, "rb") if filename != "-" else sys.stdin.buffer
-    x = uio.get_samples_complex(fp, n)
+    z = fp.read(2 * int(n))
     if filename != "-":
         fp.close()
-    return x
+    if len(z) != 2 * int(n):
+        return None
+    return cplx.from_int8_iq(z)
 
 
 def _fmt_row(sig, r) -> str:
@@ -200,7 +201,8 @@ def _main_serial(sig, argv, x_cache: dict | None = None) -> int:
     if x is None:
         print("insufficient samples", file=sys.stderr)
         return 1
-    xs = mix_long(cplx.from_numpy(x), -coffset / fs)
+    xs = mix_long(x if isinstance(x, tuple) else cplx.from_numpy(x),
+                  -coffset / fs)
     r = serial_search(sig, xs, prn, doppler, parent_code_phase=phase,
                       fs=fs, ms=ms, chan=prn if fdma else 0)
     # reference row: code_phase metric (acquire-gps-l2cl.py:76)

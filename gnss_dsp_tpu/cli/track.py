@@ -40,19 +40,16 @@ def _preload_chunk(path: str, fs: float, chunk_ms: float, cache: dict,
     with (lock if lock is not None else contextlib.nullcontext()):
         if path in cache:
             return cache[path]
-        import jax.numpy as jnp
-
-        from gnss_dsp_tpu.utils import native
+        from gnss_dsp_tpu.ops import cplx
 
         raw = np.fromfile(path, np.int8)
-        x = native.deinterleave_c64(raw[: 2 * n])
         # generous shared tail: covers every family's window margin
-        # (track_file falls back to streaming if it ever doesn't)
+        # (track_file falls back to streaming if it ever doesn't);
+        # int8 upload + on-device convert/pad — 2 bytes/sample over
+        # the host link instead of 8 (cplx.from_int8_iq)
         pad = int(fs * 0.006) + 16384
         pad += (-(n + pad)) % 1024
-        xp = np.concatenate([x, np.zeros(pad, np.complex64)])
-        dev = (jnp.asarray(np.ascontiguousarray(xp.real)),
-               jnp.asarray(np.ascontiguousarray(xp.imag)))
+        dev = cplx.from_int8_iq(raw[: 2 * n], pad=pad)
         cache[path] = (dev, n)
         return cache[path]
 
