@@ -27,33 +27,38 @@ def to_numpy(a: C) -> np.ndarray:
     return np.asarray(a[0]) + 1j * np.asarray(a[1])
 
 
+def _deinterleave_dev(a, p: int):
+    f = a.astype(jnp.float32)
+    re = f[0::2]
+    im = f[1::2]
+    if p:
+        re = jnp.pad(re, (0, p))
+        im = jnp.pad(im, (0, p))
+    return re, im
+
+
+_deinterleave_jit = None
+
+
 def from_int8_iq(raw, pad: int = 0) -> C:
     """Interleaved int8 I/Q -> split-complex f32 converted ON DEVICE:
     uploads 2 bytes/sample over the host link instead of the 8 the
-    host-deinterleave + from_numpy route costs (the axon tunnel moves
-    ~14 MB/s, so this is 4x on the acquisition CLI's dominant fixed
-    cost).  int8 -> f32 is exact, so values are bit-identical to
+    host-deinterleave + from_numpy route costs.  int8 -> f32 is exact,
+    so values are bit-identical to
     from_numpy(utils.io.bytes_to_complex(raw)).  `pad` appends zero
     samples device-side."""
-    import functools
+    global _deinterleave_jit
+    if _deinterleave_jit is None:      # deferred: no jax at import time
+        import functools
 
-    import jax
+        import jax
 
+        _deinterleave_jit = functools.partial(
+            jax.jit, static_argnames="p")(_deinterleave_dev)
     if isinstance(raw, (bytes, bytearray, memoryview)):
         raw = np.frombuffer(raw, np.int8)
     d = jnp.asarray(np.ascontiguousarray(raw))     # [2n] int8 upload
-
-    @functools.partial(jax.jit, static_argnames="p")
-    def _cv(a, p):
-        f = a.astype(jnp.float32)
-        re = f[0::2]
-        im = f[1::2]
-        if p:
-            re = jnp.pad(re, (0, p))
-            im = jnp.pad(im, (0, p))
-        return re, im
-
-    return _cv(d, int(pad))
+    return _deinterleave_jit(d, int(pad))
 
 
 def zeros(shape, dtype=jnp.float32) -> C:

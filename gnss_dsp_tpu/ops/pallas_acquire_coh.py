@@ -83,8 +83,10 @@ def plan_coh(window: int, m_coh: int, A: int, P: int):
     bt = _divisor_bt(m_coh, g, cap)
     if bt is None:
         return None
-    # accC [pc, 2, A, .] + accQ [pc, A, .] f32 = 12*A*W bytes per PRN
-    pc = int(8e6 // (12 * A * window))
+    # accC [pc, 2, A, .] + accQ [pc, A, .] f32 = 12*A*W bytes per PRN,
+    # kept well under the scoped-VMEM limit (accumulate temporaries add
+    # a per-slot shadow, cf. _vmem_spec's measured 2x)
+    pc = int(6e6 // (12 * A * window))
     if pc < 1:
         return None
     return n1, n2, bt, min(pc, P)
