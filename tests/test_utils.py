@@ -72,3 +72,22 @@ def test_counters():
     c.cells += 5000
     r = c.report()
     assert "Msamples/s" in r and "Gcells/s" in r
+
+
+def test_from_int8_iq_bit_identical(rng):
+    """Device-side int8 deinterleave (cplx.from_int8_iq — the CLI
+    upload path) is bit-identical to the host-deinterleave +
+    from_numpy route, including the device-side zero pad."""
+    from gnss_dsp_tpu.ops import cplx
+    from gnss_dsp_tpu.utils import io as uio
+
+    raw = rng.integers(-128, 128, size=2 * 1000, dtype=np.int64
+                       ).astype(np.int8)
+    host = cplx.from_numpy(uio.bytes_to_complex(raw.tobytes()))
+    dev = cplx.from_int8_iq(raw.tobytes(), pad=24)
+    assert dev[0].shape[0] == 1024
+    np.testing.assert_array_equal(np.asarray(host[0]),
+                                  np.asarray(dev[0][:1000]))
+    np.testing.assert_array_equal(np.asarray(host[1]),
+                                  np.asarray(dev[1][:1000]))
+    assert float(np.abs(np.asarray(dev[0][1000:])).max()) == 0.0
