@@ -86,6 +86,11 @@ def main_multi(argv=None, x_cache: dict | None = None,
     parser.add_option("--loop-dwells", default="500,500")
     parser.add_option("--blocks", type="int", default=0)
     parser.add_option("--chunk-ms", type="float", default=2000.0)
+    parser.add_option("--coherent", type="int", default=1, metavar="M",
+                      help="extended-coherent tracking per channel: -1 "
+                      "integrates each signal's own overlay length "
+                      "(overlay-free signals stay non-coherent); an "
+                      "explicit M applies to every channel")
     options, args = parser.parse_args(
         sys.argv[1:] if argv is None else argv)
     if len(args) != 4:
@@ -96,8 +101,11 @@ def main_multi(argv=None, x_cache: dict | None = None,
         parts = spec.split(":")
         name, p, d, co = parts[:4]
         sigs.append(get_signal(name))
-        channels.append(TrackChannel(prn=int(p), doppler=float(d),
-                                     code_offset=float(co)))
+        # optional 6th field: the channel's overlay phase for --coherent
+        # (from coherent acquisition's track_overlay_phase)
+        channels.append(TrackChannel(
+            prn=int(p), doppler=float(d), code_offset=float(co),
+            overlay_phase=int(parts[5]) if len(parts) > 5 else 0))
         # optional 5th field: this channel's own carrier offset (mixed
         # bands / band-center differences within one stream)
         coffsets.append(float(parts[4]) if len(parts) > 4 else coffset)
@@ -118,7 +126,7 @@ def main_multi(argv=None, x_cache: dict | None = None,
                chunk_ms=options.chunk_ms,
                max_blocks=options.blocks or None, emit=emit,
                recover_after=-1, preloaded=preloaded, sigs=sigs,
-               coffsets=coffsets)
+               coffsets=coffsets, coherent_blocks=options.coherent)
     return 0
 
 
@@ -163,7 +171,8 @@ def main(signal: str, argv=None, x_cache: dict | None = None,
     parser.add_option("--coherent", type="int", default=1, metavar="M",
                       help="extended-coherent tracking: accumulate "
                            "secondary-wiped complex E/P/L over M code "
-                           "periods, loop updates at the M boundary "
+                           "periods, loop updates at the M boundary; "
+                           "-1 = the signal's own overlay length "
                            "(framework extension; sub-divided signals "
                            "excluded)")
     parser.add_option("--overlay-phase", type="int", default=0,

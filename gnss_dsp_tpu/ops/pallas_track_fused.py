@@ -95,9 +95,9 @@ _NI = 8
 (_F_CP_HI, _F_CP_LO, _F_CFO, _F_CARR_P, _F_CARR_F,
  _F_P1RE, _F_P1IM, _F_CE1, _F_DE1, _F_RATIO,
  _F_CFH, _F_CFL, _F_EL, _F_L, _F_SPP, _F_SUB,
- _F_A0, _F_A1, _F_A6) = range(19)
-_F_CACC = 19
-_NF = 25
+ _F_A0, _F_A1, _F_A6, _F_COH, _F_NOV) = range(21)
+_F_CACC = 21
+_NF = 27
 
 
 def _fixed_bits(frac):
@@ -338,12 +338,18 @@ def _kernel(s_i32, s_f32, ovl_ref, xr_hbm, xi_hbm, code_ref,
             # extended-coherent (_post_block coh semantics): the overlay
             # chip wipes this block's correlators, the loop filters see
             # the M-period accumulated sums, and updates gate on the
-            # period-M boundary u
-            s_ovl = ovl_ref[cc, block % nov]
+            # period-M boundary u.  M and the overlay period are RUNTIME
+            # per-channel (sigp lanes) so mixed-constellation scans can
+            # carry different coherent spans; M = 1 reduces exactly to
+            # the non-coherent update.
+            nov_c = sm_f[cc, _F_NOV].astype(jnp.int32)
+            nov_e = jnp.where(nov_c > 0, nov_c, jnp.int32(nov))
+            s_ovl = ovl_ref[cc, block % nov_e]
             wip = accv * s_ovl
             caccrow = caccv[pl.ds(cc, 1), :]
             acc6 = caccrow + wip
-            u = ((block + 1) % p.coh_blocks) == 0
+            M_c = jnp.maximum(sm_f[cc, _F_COH].astype(jnp.int32), 1)
+            u = ((block + 1) % M_c) == 0
         else:
             wip = accv
             acc6 = accv

@@ -266,8 +266,8 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
         # needs its own kernel plan and the streamed long codes their
         # own row layout, so both are excluded from mixes.  --mesh mixes
         # ride the fused shard_map path (channels + sigp rows shard).
-        assert recover_after in (None, -1) and coherent_blocks == 1, \
-            "multi-signal excludes recover/coherent"
+        assert recover_after in (None, -1), \
+            "multi-signal excludes recovery"
         assert mesh is None or fused_avail, \
             "multi-signal under --mesh needs the fused kernel"
         assert all(s.subcarrier != "tmboc" for s in sigs), \
@@ -277,16 +277,35 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
     L = sig.code_length
     if recover_after is None:
         recover_after = 200 if sig.recover_default else -1
-    if coherent_blocks > 1:
+
+    def _ovl_len(s):
+        return (len(s.secondary(1)) if s.secondary is not None else 1)
+
+    def _chan_M(s):
+        """Per-channel coherent span: -1 = the signal's own overlay
+        length (1 = non-coherent for overlay-free signals in a mix)."""
+        if coherent_blocks == -1:
+            return max(_ovl_len(s), 1)
+        return int(coherent_blocks)
+
+    if coherent_blocks == -1 or coherent_blocks > 1:
         # the M-period accumulator indexes overlay chips by whole code
-        # periods; sub-divided signals would need sub-aware indexing
-        assert sig.sub_blocks == 1, (sig.name, sig.sub_blocks)
+        # periods; sub-divided signals would need sub-aware indexing —
+        # asserted per CHANNEL (a mix may carry M = 1 sub-divided ones)
+        for s in sigs:
+            if _chan_M(s) > 1:
+                assert s.sub_blocks == 1, (s.name, s.sub_blocks)
+        coh_static = max(_chan_M(s) for s in sigs)
+    else:
+        coh_static = 1
+    if coh_static == 1:
+        coherent_blocks = 1           # -1 resolved to "nothing coherent"
     n_emit = len(channels)
     if mesh is not None:
         # channel-sharded scan (parallel/track.track_scan_sharded): pad
         # the channel list to a multiple of the sat axis with clones of
         # channel 0 (their rows are computed but never emitted)
-        assert coherent_blocks == 1 or fused_avail, \
+        assert coh_static == 1 or fused_avail, \
             "--mesh coherent tracking needs the fused kernel " \
             "(overlay rides the shard_map branch)"
         nsat = mesh.shape["sat"]
@@ -303,7 +322,7 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
     params = make_params(sig, fs, coffset, loop_dwells,
                          pll_from_start=all(c.pll_from_start for c in channels),
                          recover_after=recover_after,
-                         coherent_blocks=coherent_blocks)
+                         coherent_blocks=coh_static)
     if mesh is not None and not params.fused_scan:
         # only the FUSED kernel rides shard_map (parallel/track); the
         # non-fused pallas scan has no partitioning rule
@@ -330,7 +349,8 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
     # kind / stream) share ONE compiled program — the track-all workload
     # drops from 11 XLA compiles to 3, and CLI invocations hit the
     # persistent cache across carrier offsets and families
-    from gnss_dsp_tpu.track.engine import sigp_row, subc_kind
+    from gnss_dsp_tpu.track.engine import (
+        SIGP_COH as _SIGP_COH, SIGP_NOV as _SIGP_NOV, sigp_row, subc_kind)
     from gnss_dsp_tpu.utils.twofloat import tf_from_f64
 
     def _row(s):
@@ -353,15 +373,28 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
             code_length=0, el_spacing=0.0, code_period_ms=0.0,
             sub=0, subcarrier=kind)
     overlay = None
-    if coherent_blocks > 1:
-        rows = []
-        for ch in channels:
-            sec = (sig.secondary(ch.prn) if sig.secondary is not None
+    if coh_static > 1:
+        # per-channel overlay rows, zero-padded to the longest; each
+        # channel's true period rides the SIGP_NOV lane (the padding is
+        # never indexed: block % nov_c < nov_c)
+        secs = []
+        for s, ch in zip(sigs, channels):
+            sec = (s.secondary(ch.prn)
+                   if _chan_M(s) > 1 and s.secondary is not None
                    else np.ones(1, np.int8))
             # block b uses chip (overlay_phase + b) mod N
-            rows.append(np.roll(np.asarray(sec, np.float32),
+            secs.append(np.roll(np.asarray(sec, np.float32),
                                 -int(ch.overlay_phase)))
-        overlay = jnp.asarray(np.stack(rows))
+        nov_max = max(len(r) for r in secs)
+        overlay = np.zeros((len(channels), nov_max), np.float32)
+        for k, r in enumerate(secs):
+            overlay[k, :len(r)] = r
+        overlay = jnp.asarray(overlay)
+        # sigp coherent lanes (per channel): M and the overlay period
+        sigp = sigp.at[:, _SIGP_COH].set(
+            jnp.asarray([_chan_M(s) for s in sigs], jnp.float32))
+        sigp = sigp.at[:, _SIGP_NOV].set(
+            jnp.asarray([len(r) for r in secs], jnp.float32))
 
     # --- alignment to the first code boundary (:141-143), per channel:
     # the reference discards n0 samples; with a shared stream we keep them

@@ -115,8 +115,8 @@ _CBOC_W6 = np.float32(0.301511)
 # DIFFERENT signals can in principle batch into one scan.
 # Lanes (f32; L/SUB are exact integers <= 5.11e6 < 2^24):
 SIGP_CF_HI, SIGP_CF_LO, SIGP_EL, SIGP_L, SIGP_SPP, SIGP_SUB, \
-    SIGP_A0, SIGP_A1, SIGP_A6 = range(9)
-SIGP_LANES = 9
+    SIGP_A0, SIGP_A1, SIGP_A6, SIGP_COH, SIGP_NOV = range(11)
+SIGP_LANES = 11
 
 # every non-TMBOC subcarrier factor is affine in the two square waves:
 # factor = a0 + a1*boc1 + a6*boc6 (exact in f32 for the 0.5/1 weights):
@@ -140,17 +140,22 @@ def subc_kind(subcarrier: str) -> str:
         else "subc"
 
 
-def sigp_row(cf_hi, cf_lo, el, L, spp, sub, subcarrier: str):
+def sigp_row(cf_hi, cf_lo, el, L, spp, sub, subcarrier: str,
+             coh: int = 1, nov: int = 0):
     # "none" carries the identity coefficients (1, 0, 0): ignored by a
     # "none" program, and exactly BPSK inside a "subc" program — which
     # is what lets channels of DIFFERENT signals batch into one
-    # mixed-constellation scan (track_file sigs=[...])
+    # mixed-constellation scan (track_file sigs=[...]).  coh is the
+    # channel's extended-coherent period count M (1 = non-coherent —
+    # the coherent math reduces exactly); nov its overlay length in the
+    # shared overlay table (0 = the table's full width) — both RUNTIME
+    # so channels of different pilot signals can mix coherently.
     if subcarrier == "none":
         a0, a1, a6 = 1.0, 0.0, 0.0
     else:
         a0, a1, a6 = SUBC_COEF.get(subcarrier, (0.0, 0.0, 0.0))
-    return np.array([cf_hi, cf_lo, el, L, spp, sub, a0, a1, a6],
-                    np.float32)
+    return np.array([cf_hi, cf_lo, el, L, spp, sub, a0, a1, a6,
+                     coh, nov], np.float32)
 
 
 def sigp_from_params(p: "TrackParams", C: int):
@@ -160,7 +165,8 @@ def sigp_from_params(p: "TrackParams", C: int):
     assert p.subcarrier != "subc", \
         "normalized params need an explicit sigp"
     row = sigp_row(p.cf_hi, p.cf_lo, p.el_spacing, p.code_length,
-                   p.fs * 0.001 * p.code_period_ms, p.sub, p.subcarrier)
+                   p.fs * 0.001 * p.code_period_ms, p.sub, p.subcarrier,
+                   coh=p.coh_blocks)
     return jnp.asarray(np.tile(row, (C, 1)))
 
 
@@ -383,7 +389,11 @@ def _post_block(p_early, p_prompt, p_late, n, sub_j_next, n_full_new, ok,
         acc = st.cacc + jnp.stack([
             p_early[0], p_early[1], p_prompt[0], p_prompt[1],
             p_late[0], p_late[1]])
-        u = ((st.block + 1) % p.coh_blocks) == 0
+        # M is RUNTIME (sigp lane): a mixed-constellation scan carries a
+        # different coherent span per channel; M = 1 reduces exactly to
+        # the non-coherent update (u always true, acc = wiped block)
+        M_c = jnp.maximum(sp[SIGP_COH].astype(jnp.int32), 1)
+        u = ((st.block + 1) % M_c) == 0
         cacc_new = jnp.where(u, 0.0, acc)
         f_early = (acc[0], acc[1])
         f_prompt = (acc[2], acc[3])
@@ -627,9 +637,12 @@ def track_scan(x_chunk, chunk_len, code_tab, state: TrackState,
 
     def step(st, _):
         if params.coh_blocks > 1 and overlay is not None:
-            nov = overlay.shape[1]
+            # per-channel overlay period (SIGP_NOV; 0 = table width)
+            novs = sigp[:, SIGP_NOV].astype(jnp.int32)
+            novs = jnp.where(novs > 0, novs,
+                             jnp.int32(overlay.shape[1]))
             s_ovl = jnp.take_along_axis(
-                overlay, (st.block % nov)[:, None], axis=1)[:, 0]
+                overlay, (st.block % novs)[:, None], axis=1)[:, 0]
         else:
             s_ovl = jnp.ones(st.block.shape, jnp.float32)
         if use_pallas:

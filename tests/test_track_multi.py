@@ -149,3 +149,57 @@ def test_multi_mesh_sharded(monkeypatch):
     for k, (name, *_rest) in enumerate(TRIO):
         np.testing.assert_array_equal(_rows(a[k]), _rows(b[k]),
                                       err_msg=name)
+
+
+def test_multi_coherent_mixed(monkeypatch):
+    """Mixed-constellation tracking with PER-CHANNEL coherent spans
+    (runtime SIGP_COH/SIGP_NOV lanes): a B1I channel integrates 20
+    NH20-wiped periods coherently while a GPS L1 channel (no overlay)
+    runs non-coherently in the SAME compiled scan — each matching its
+    own single-signal run."""
+    monkeypatch.setenv("GNSS_DSP_PALLAS_INTERPRET", "1")
+    from gnss_dsp_tpu.track import driver as drv
+
+    monkeypatch.setattr(drv, "_pallas_ok", lambda *a, **k: True)
+
+    duo = [("beidou-b1i", 34, 400.0, 1500.6), ("gps-l1", 7, 900.0, 317.25)]
+    n = int(FS * 0.06)
+    x = np.zeros(n, np.complex64)
+    for name, prn, dop, cp in duo:
+        sig = get_signal(name)
+        code = sig.code_table((prn,))[0].astype(np.float64)
+        bits = (np.asarray(sig.secondary(prn), np.float64)
+                if sig.secondary is not None else None)
+        x += synth.synth_iq(code, sig.chip_rate, FS, n, doppler_hz=dop,
+                            code_phase=cp, cn0_dbhz=None,
+                            carrier_ratio=sig.track_carrier_ratio(prn),
+                            data_bits=bits)
+    x = x * np.exp(2j * np.pi * COFF / FS * np.arange(n))
+    data = synth.to_int8_iq(x, scale=24.0)
+
+    def single(name, prn, dop, cp, M):
+        sig = get_signal(name)
+        ch = [TrackChannel(prn=prn, doppler=dop, code_offset=cp)]
+        track_file(sig, io.BytesIO(data), FS, COFF, ch,
+                   loop_dwells=(8, 8), max_blocks=40, coherent_blocks=M)
+        return ch[0].rows
+
+    sgl = [single("beidou-b1i", 34, 400.0, 1500.6, -1),
+           single("gps-l1", 7, 900.0, 317.25, 1)]
+    # discriminator: the coherent B1I trajectory must DIFFER from its
+    # non-coherent run (guards against -1 silently resolving to M=1 —
+    # the multi-vs-single equality below would then pass vacuously)
+    nc = _rows(single("beidou-b1i", 34, 400.0, 1500.6, 1))
+    assert not np.allclose(_rows(sgl[0]), nc, rtol=2e-3, atol=2e-2)
+    sigs = [get_signal(name) for name, *_ in duo]
+    chans = [TrackChannel(prn=p, doppler=d, code_offset=cp)
+             for _, p, d, cp in duo]
+    track_file(sigs[0], io.BytesIO(data), FS, COFF, chans,
+               loop_dwells=(8, 8), max_blocks=40, sigs=sigs,
+               coherent_blocks=-1)
+    for k, (name, *_rest) in enumerate(duo):
+        a = _rows(sgl[k])
+        b = _rows(chans[k].rows)
+        assert a.shape == b.shape and a.shape[0] >= 30, (name, a.shape)
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-2,
+                                   err_msg=name)
