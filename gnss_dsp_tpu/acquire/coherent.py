@@ -134,17 +134,17 @@ def grid_search_coherent_fast(x, code_f_perm, dopp_fixed, dopp_valid,
                               jnp.take(Fai, ids, axis=2
                                        ).reshape(dop_chunk, G * acs,
                                                  window))
-                    pk, ci, al_r = corr_surface_coh_spec(
+                    pk, cix, al_r = corr_surface_coh_spec(
                         F2, cf, n1=n1, n2=n2, bt=bt, A=acs,
                         n_valid=n_valid)
-                    parts.append((pk, ci, jnp.take(ids, al_r)))
-                pk, ci, al_r = parts[0]
+                    parts.append((pk, cix, jnp.take(ids, al_r)))
+                pk, cix, al_r = parts[0]
                 for pk2, ci2, al2 in parts[1:]:
                     upd = pk2 > pk
                     pk = jnp.where(upd, pk2, pk)
-                    ci = jnp.where(upd, ci2, ci)
+                    cix = jnp.where(upd, ci2, cix)
                     al_r = jnp.where(upd, al2, al_r)
-                outs.append((pk, ci, al_r))
+                outs.append((pk, cix, al_r))
             else:
                 outs.append(corr_surface_coh(
                     F, cf, cosang, sinang, sec_mat,
@@ -344,18 +344,30 @@ def acquire_signal_coherent(sig, x_int, prns, doppler_search,
     blocks = max(blocks // m_coh, 1) * m_coh
     N = len(sec)
 
+    # the fused engine builds sec_mat at GLOBAL block index while the
+    # XLA engine applies the overlay per-group with a LOCAL index; the
+    # two agree iff m_coh % N == 0 (incl. the default m_coh == N and the
+    # overlay-free N == 1 case) — otherwise fall back to XLA
     fast = (_coh_fast_plan(sig, n, int(m_coh), N, len(prns), blocks)
-            if engine in ("auto", "fused") else None)
+            if engine in ("auto", "fused") and m_coh % N == 0 else None)
     if engine == "fused" and fast is None:
-        raise ValueError("no fused coherent plan for this shape")
+        raise ValueError(
+            "no fused coherent plan for this shape" if m_coh % N == 0 else
+            f"fused engine needs m_coh % overlay_len == 0 "
+            f"(m_coh={m_coh}, overlay={N})")
     window = fast[1] if fast else n     # XLA path: circular, no pad
 
     dops, fixed = _eng.doppler_grid(sig, doppler_search, chan)
     if dop_chunk is None:
         if fast:
-            # fast path materializes only [DC, B, W] bf16 spectra
+            # fast path materializes [DC, B, W] bf16 spectra, and in
+            # spec mode also the Far/Fai intermediates [DC, G, A, W] —
+            # budget whichever is larger per doppler cell
+            cells = blocks
+            if fast[0] == "spec":
+                cells = max(blocks, (blocks // int(m_coh)) * N)
             dop_chunk = min(len(dops), max(
-                1, 256 * 2**20 // (blocks * window * 4)))
+                1, 256 * 2**20 // (cells * window * 4)))
         else:
             dop_chunk = min(len(dops), max(
                 1, 64 * 2**20 // (len(prns) * blocks * window * 8)))

@@ -45,11 +45,15 @@ Scope (round 4 — widened from the BPSK sub==1 fast path): every
 subcarrier family (BOC/CBOC/TMBOC/RZ ride the 16-row per-lag operand
 plan, pallas_track2.plan_rows), sub-divided code periods (e1b x4,
 l1c/b1c x10, l2cm x20, l2cl x1500, glonass-p x1000 — the sub-window
-geometry runs in the kernel's scalar domain), and HBM-streamed long
+geometry runs in the kernel's scalar domain), HBM-streamed long
 codes (the per-tile code window is DMA'd from the HBM-resident
-extended row exactly like the v2 scan kernel's stream path).  Still
-excluded (scan engine): extended-coherent (overlay), unknown-code
-recovery, mesh-sharded channels.
+extended row exactly like the v2 scan kernel's stream path),
+extended-coherent overlay tracking (round 4.2: overlay wipe + M-period
+cacc accumulator lane row + boundary-gated loop filter — see
+track/driver.py coh handling), and mesh-sharded channels (round 4.2:
+parallel/track.track_scan_sharded routes each device's shard through
+this kernel under shard_map).  Still excluded (scan engine only):
+unknown-code recovery (nco.accum code-bin accumulation).
 """
 
 from __future__ import annotations

@@ -305,9 +305,14 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
         # channel-sharded scan (parallel/track.track_scan_sharded): pad
         # the channel list to a multiple of the sat axis with clones of
         # channel 0 (their rows are computed but never emitted)
-        assert coh_static == 1 or fused_avail, \
+        # gate on what make_params will actually resolve: fused_scan
+        # additionally requires recover_after < 0, so a recover_default
+        # signal under --mesh --coherent must fail HERE with the real
+        # reason, not later in parallel/track's overlay assert
+        assert coh_static == 1 or (fused_avail and recover_after < 0), \
             "--mesh coherent tracking needs the fused kernel " \
-            "(overlay rides the shard_map branch)"
+            "(overlay rides the shard_map branch; unknown-code recovery " \
+            "is scan-engine-only — pass --recover-after -1)"
         nsat = mesh.shape["sat"]
         pad = (-len(channels)) % nsat
         if pad:
