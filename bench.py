@@ -348,12 +348,27 @@ def bench_acquire_sustained_fdma(name="glonass-l1", segments=8,
 # Fair single-core CPU baselines measured on this host (BASELINE.md
 # "Measured" section): the reference's numpy-FFT acquisition hot loop
 # (numba is not installable here; the loop is FFT-bound either way) and
-# the vectorized-numpy stand-in for its mix_/correlate tracking kernels
+# the vectorized-numpy stand-ins for its mix_/correlate tracking kernels
 # (tools/baseline_track_numpy.py).  Used as the vs_baseline denominator
 # for every sub-metric; the headline re-measures its own denominator
 # live each run.
 _CPU_ACQ_CELLS_S = 7.9e6
-_CPU_TRACK_SAMPLES_S = 16.5e6
+# Per-FAMILY tracking denominators (round-5 VERDICT item 3): each
+# family's vectorized-numpy baseline mirrors its own reference
+# correlate semantics (CBOC/TMBOC/RZ subcarrier recurrences, long-code
+# gather tables, overlay-wiped coherent accumulation), best-of->=3 runs
+# measured 2026-08-20 on this host (tools/baseline_track_numpy.py).
+_CPU_TRACK_SAMPLES_S_FAMILY = {
+    "gps-l1": 28.6e6,
+    "beidou-b1i": 30.3e6,
+    "galileo-e1b": 3.2e6,
+    "gps-l1cp": 3.0e6,
+    "gps-l2cm": 9.1e6,
+    "gps-l2cl": 8.9e6,
+    "glonass-l1-p": 25.2e6,
+    "beidou-b1i-coh": 30.8e6,
+}
+_CPU_TRACK_SAMPLES_S = _CPU_TRACK_SAMPLES_S_FAMILY["gps-l1"]
 
 
 def bench_acquire_coherent(name="gps-l5i", m_coh=None,
@@ -508,12 +523,14 @@ def bench_tracking_family(name, NB=900):
     fs, cmax = FAMILIES[name]
     shape = (f"{sig.subcarrier} sub={sig.sub_blocks}"
              + (" streamed" if sig.code_length > 100_000 else ""))
+    denom = _CPU_TRACK_SAMPLES_S_FAMILY[name]
     return {
         "metric": f"{name.replace('-', '_')}_tracking_msamples_per_s",
         "value": round(rate, 1),
         "unit": f"Msamples/s aggregate ({cmax} ch x {NB} sub-blocks, "
-                f"fused whole-loop kernel, {shape})",
-        "vs_baseline": round(rate * 1e6 / _CPU_TRACK_SAMPLES_S, 2),
+                f"fused whole-loop kernel, {shape}; vs this family's own "
+                f"CPU semantics at {denom / 1e6:.1f} Msamples/s)",
+        "vs_baseline": round(rate * 1e6 / denom, 2),
     }
 
 

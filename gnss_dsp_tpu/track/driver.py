@@ -22,10 +22,13 @@ from gnss_dsp_tpu.track.engine import (
 
 
 class _PrefetchReader:
-    """Double-buffered host ingest: the next chunk's file read +
-    int8 deinterleave runs on a worker thread while the device scans the
-    current chunk (SURVEY.md §7 'Host I/O' hard part — the reference
-    blocks on every read, track-gps-l1.py:165)."""
+    """Double-buffered host ingest: the next chunk's file read runs on a
+    worker thread while the device scans the current chunk (SURVEY.md §7
+    'Host I/O' hard part — the reference blocks on every read,
+    track-gps-l1.py:165).  Yields RAW interleaved int8 I/Q bytes — the
+    int8->f32 deinterleave happens ON DEVICE (cplx.from_int8_iq), so the
+    host link carries 2 bytes/sample instead of 8 (the long-capture
+    receiver's dominant cost on a tunnel-attached chip)."""
 
     def __init__(self, fp, ahead_samples: int):
         import queue
@@ -33,46 +36,45 @@ class _PrefetchReader:
 
         self.fp = fp
         self.q = queue.Queue(maxsize=2)
-        self.leftover = np.zeros(0, np.complex64)
+        self.leftover = np.zeros(0, np.int8)
         self.done = False
         self._chunk = int(ahead_samples)
         self._t = threading.Thread(target=self._worker, daemon=True)
         self._t.start()
 
     def _worker(self):
-        from gnss_dsp_tpu.utils import native
-
         while True:
             raw = self.fp.read(2 * self._chunk)
             if not raw:
                 self.q.put(None)
                 return
             n2 = 2 * (len(raw) // 2)
-            self.q.put(native.deinterleave_c64(raw[:n2]))
+            self.q.put(np.frombuffer(raw, np.int8, count=n2))
             if n2 < 2 * self._chunk:
                 self.q.put(None)
                 return
 
     def take(self, want: int):
-        """Up to `want` samples (short only at EOF); None when drained."""
+        """Up to `want` SAMPLES of int8 I/Q bytes (short only at EOF);
+        None when drained."""
         parts = []
-        got = len(self.leftover)
+        got = len(self.leftover) // 2
         if got:
             parts.append(self.leftover)
-            self.leftover = np.zeros(0, np.complex64)
+            self.leftover = np.zeros(0, np.int8)
         while got < want and not self.done:
             nxt = self.q.get()
             if nxt is None:
                 self.done = True
                 break
             parts.append(nxt)
-            got += len(nxt)
+            got += len(nxt) // 2
         if not parts:
             return None
         x = parts[0] if len(parts) == 1 else np.concatenate(parts)
-        if len(x) > want:
-            self.leftover = x[want:]
-            x = x[:want]
+        if len(x) > 2 * want:
+            self.leftover = x[2 * want:]
+            x = x[: 2 * want]
         return x
 
 
@@ -564,18 +566,22 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
                 ch.recovered = acc_re[k] + 1j * acc_im[k]
         return channels
 
-    buf = np.zeros(0, np.complex64)
+    buf = np.zeros(0, np.int8)         # interleaved int8 I/Q bytes
     total_blocks = resumed_blocks
     reader = _PrefetchReader(fp, chunk_samples + pad_extra)
+    from gnss_dsp_tpu.ops import cplx as _cplx
+
     while True:
         # refill device chunk (the next file read was already started on
         # the prefetch thread while the previous scan ran)
-        want = chunk_samples + params.nmax - len(buf)
+        nbuf = len(buf) // 2
+        want = chunk_samples + params.nmax - nbuf
         if want > 0:
             xx = reader.take(want)
             if xx is not None and len(xx):
                 buf = np.concatenate([buf, xx])
-        if len(buf) == 0:
+                nbuf = len(buf) // 2
+        if nbuf == 0:
             break
 
         nb = blocks_per_scan
@@ -586,25 +592,24 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
 
         # pad so per-channel windows are in range for any valid ptr; total
         # length rounded to a whole number of kernel tiles (the fused
-        # correlator's BlockSpec addresses the chunk tile-by-tile)
-        tail = pad_extra + (-(len(buf) + pad_extra)) % 1024
-        padded = np.concatenate([buf, np.zeros(tail, np.complex64)])
-        x_dev = (
-            jnp.asarray(np.ascontiguousarray(padded.real)),
-            jnp.asarray(np.ascontiguousarray(padded.imag)),
-        )
+        # correlator's BlockSpec addresses the chunk tile-by-tile).  The
+        # raw int8 bytes upload as-is and the zero pad is appended
+        # DEVICE-side (from_int8_iq): 2 bytes/sample on the host link,
+        # values bit-identical to the old host-deinterleave route
+        tail = pad_extra + (-(nbuf + pad_extra)) % 1024
+        x_dev = _cplx.from_int8_iq(buf, pad=tail)
         state = state._replace(stalled=jnp.zeros_like(state.stalled))
         if mesh is not None:
             from gnss_dsp_tpu.parallel.track import track_scan_sharded
 
             state, rows_f, rows_i = track_scan_sharded(
-                mesh, x_dev, jnp.int32(len(buf)), code_tab, state, params,
+                mesh, x_dev, jnp.int32(nbuf), code_tab, state, params,
                 nb, ratios=ratios, coffset_df=coffset_df, sigp=sigp,
                 code_rows_ext=code_rows_ext, overlay=overlay,
             )
         else:
             state, rows_f, rows_i = track_scan(
-                x_dev, jnp.int32(len(buf)), code_tab, state, params, nb,
+                x_dev, jnp.int32(nbuf), code_tab, state, params, nb,
                 ratios=ratios, code_rows_ext=code_rows_ext, overlay=overlay,
                 coffset_df=coffset_df, sigp=sigp,
             )
@@ -613,10 +618,11 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
         if max_blocks is not None and total_blocks >= max_blocks:
             break
 
-        # drop fully-consumed samples, rebase pointers
+        # drop fully-consumed samples, rebase pointers (buf is int8
+        # interleaved I/Q: 2 bytes per sample)
         ptrs = np.asarray(state.ptr)
         consumed = int(ptrs.min())
-        buf = buf[consumed:]
+        buf = buf[2 * consumed:]
         state = state._replace(ptr=jnp.asarray(ptrs - consumed, jnp.int32))
         abs_buf0 += consumed
 
