@@ -65,9 +65,10 @@ def main_multi(argv=None, x_cache: dict | None = None,
 
     Every channel (possibly of a DIFFERENT signal) runs in ONE compiled
     scan over one pass of the stream.  Rows print with a "SIG:prn "
-    prefix in each signal's native 9/14-column format.  Excluded:
-    gps-l1cp (TMBOC needs its own kernel plan) and the streamed long
-    codes (gps-l2cl, glonass-l1-p/l2-p)."""
+    prefix in each signal's native 9/14-column format.  TMBOC channels
+    (gps-l1cp, beidou-b1cp) mix since round 5 via the runtime slot-gate
+    lane.  Excluded: the streamed long codes (gps-l2cl,
+    glonass-l1-p/l2-p — their HBM-streamed row layout doesn't mix)."""
     import optparse
 
     from gnss_dsp_tpu.models import get_signal

@@ -78,17 +78,27 @@ def plan_rows(sub: str) -> int:
     return 8 if sub == "none" else 16
 
 
-def _factor(sub, a0, a1, a6, cp, rel, vint):
+def _factor(sub, a0, a1, a6, cp, rel, vint, tm=0.0):
     """Per-sample subcarrier weight.  sub == "subc" is the runtime-
     coefficient form a0 + a1*boc1 + a6*boc6 (engine.SUBC_COEF — lets
-    every affine family share one compiled program); legacy strings and
-    "tmboc" take the static branches."""
-    if sub == "subc":
+    every affine family share one compiled program); sub == "tmboc" is
+    the runtime superset a0 + a1*boc1 + a6*boc6 + tm*(slot*boc6 +
+    (1-slot)*boc1) — tm = 1 with zero coefficients is exactly the TMBOC
+    slot blend (gps/l1cp.py:210-228), tm = 0 reduces to the affine form,
+    so TMBOC channels mix with any other family in one program (round
+    5).  Legacy strings take the static branches (v1 ablation path)."""
+    if sub in ("subc", "tmboc"):
         bp = jnp.floor(2.0 * cp).astype(jnp.int32) % 2
         boc = (1 - 2 * bp).astype(jnp.float32)
         bp6 = jnp.floor(12.0 * cp).astype(jnp.int32) % 2
         boc6 = (1 - 2 * bp6).astype(jnp.float32)
-        return a0 + a1 * boc + a6 * boc6
+        affine = a0 + a1 * boc + a6 * boc6
+        if sub == "subc":
+            return affine
+        u = (vint + rel) % 33
+        slot = ((u == 0) | (u == 4) | (u == 6)
+                | (u == 29)).astype(jnp.float32)
+        return affine + tm * (slot * boc6 + (1.0 - slot) * boc)
     from gnss_dsp_tpu.ops.pallas_track import _subcarrier_factor
 
     return _subcarrier_factor(sub, cp, rel, vint)
@@ -97,7 +107,7 @@ def _factor(sub, a0, a1, a6, cp, rel, vint):
 def tile_contrib(i0, nvalid, dph_a, ph0_a, dph_b, ph0_b,
                  vint_e, vint_p, vint_l, fr_e, fr_p, fr_l, cf,
                  xr_p, xi_p, W, read_code_tiles, tsz: int = TILE,
-                 sub: str = "none", a0=0.0, a1=0.0, a6=0.0):
+                 sub: str = "none", a0=0.0, a1=0.0, a6=0.0, tm=0.0):
     """One TILE's factorized E/P/L contribution (the v2 math), as a pure
     function so the per-block fused tracking kernel (pallas_track_fused)
     can share it.  Scalars are traced kernel values; xr_p/xi_p are the
@@ -175,11 +185,11 @@ def tile_contrib(i0, nvalid, dph_a, ph0_a, dph_b, ph0_b,
         # TMBOC's slot needs the absolute chip index vint + rel,
         # gps/l1cp.py:210-228)
         f_p = _factor(sub, a0, a1, a6, fr_p + i_f_p * cf, rel_p_pk,
-                      vint_p).reshape(1, tsz)
+                      vint_p, tm).reshape(1, tsz)
         f_e = _factor(sub, a0, a1, a6, fr_e + i_f_p * cf, rel_e_pk,
-                      vint_e).reshape(1, tsz)
+                      vint_e, tm).reshape(1, tsz)
         f_l = _factor(sub, a0, a1, a6, fr_l + i_f_p * cf, rel_l_pk,
-                      vint_l).reshape(1, tsz)
+                      vint_l, tm).reshape(1, tsz)
         # ---- 16 group planes: (p, e-main, e-bnd, l-main, l-bnd) x re/im
         # in rows 0..9; rows 10..15 are pad.  Each lag's samples carry its
         # own subcarrier factor, boundary rows additionally the d-flag.
@@ -329,12 +339,13 @@ def _kernel(si_ref, sf_ref, xr_ref, xi_ref, code_ref, out_ref, acc,
     fr_p = sf_ref[c, 1]
     fr_l = sf_ref[c, 2]
     cf = sf_ref[c, 3]
-    if sub == "subc":
+    if sub in ("subc", "tmboc"):
         a0 = sf_ref[c, 4]
         a1 = sf_ref[c, 5]
         a6 = sf_ref[c, 6]
+        tm = sf_ref[c, 7] if sub == "tmboc" else 0.0
     else:
-        a0 = a1 = a6 = 0.0
+        a0 = a1 = a6 = tm = 0.0
 
     W2 = W + 128
 
@@ -361,7 +372,7 @@ def _kernel(si_ref, sf_ref, xr_ref, xi_ref, code_ref, out_ref, acc,
             i0, nvalid, dph_a, ph0_a, dph_b, ph0_b,
             vint_e, vint_p, vint_l, fr_e, fr_p, fr_l, cf,
             xr_ref[0:1, :].reshape(8, 128), xi_ref[0:1, :].reshape(8, 128),
-            W, read_code_tiles, sub=sub, a0=a0, a1=a1, a6=a6)
+            W, read_code_tiles, sub=sub, a0=a0, a1=a1, a6=a6, tm=tm)
         acc[...] = acc[...] + prod
 
     @pl.when(j == grid_tiles - 1)

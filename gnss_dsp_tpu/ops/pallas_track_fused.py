@@ -99,9 +99,9 @@ _NI = 8
 (_F_CP_HI, _F_CP_LO, _F_CFO, _F_CARR_P, _F_CARR_F,
  _F_P1RE, _F_P1IM, _F_CE1, _F_DE1, _F_RATIO,
  _F_CFH, _F_CFL, _F_EL, _F_L, _F_SPP, _F_SUB,
- _F_A0, _F_A1, _F_A6, _F_COH, _F_NOV) = range(21)
-_F_CACC = 21
-_NF = 27
+ _F_A0, _F_A1, _F_A6, _F_COH, _F_NOV, _F_TM) = range(22)
+_F_CACC = 22
+_NF = 28
 
 
 def _fixed_bits(frac):
@@ -327,7 +327,7 @@ def _kernel(s_i32, s_f32, ovl_ref, xr_hbm, xi_hbm, code_ref,
                         xr_p, xi_p, W, read_j, tsz=tsz,
                         sub=p.subcarrier,
                         a0=sm_f[cc, _F_A0], a1=sm_f[cc, _F_A1],
-                        a6=sm_f[cc, _F_A6])
+                        a6=sm_f[cc, _F_A6], tm=sm_f[cc, _F_TM])
                     acc[k] = acc[k] + prod
 
         # ---- loop filter (_post_block semantics, coh_blocks == 1).

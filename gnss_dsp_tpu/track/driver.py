@@ -265,15 +265,16 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
         # mixed-constellation single-program mode (enabled by the
         # runtime sigp lanes): every channel carries its own signal's
         # constants; the shared program is the shape envelope.  TMBOC
-        # needs its own kernel plan and the streamed long codes their
-        # own row layout, so both are excluded from mixes.  --mesh mixes
-        # ride the fused shard_map path (channels + sigp rows shard).
+        # mixes since round 5 (the slot gate is the runtime SIGP_TM
+        # lane; a tmboc-kind program computes the slot plane for every
+        # channel, tm = 0 reducing the others to the affine form
+        # exactly).  The streamed long codes keep their own row layout
+        # and stay excluded.  --mesh mixes ride the fused shard_map
+        # path (channels + sigp rows shard).
         assert recover_after in (None, -1), \
             "multi-signal excludes recovery"
         assert mesh is None or fused_avail, \
             "multi-signal under --mesh needs the fused kernel"
-        assert all(s.subcarrier != "tmboc" for s in sigs), \
-            "tmboc does not mix (slot plane); track gps-l1cp separately"
         assert all(s.code_length <= _STREAM_CODE_CHIPS for s in sigs), \
             "streamed long codes do not mix"
     L = sig.code_length
@@ -571,9 +572,19 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
     reader = _PrefetchReader(fp, chunk_samples + pad_extra)
     from gnss_dsp_tpu.ops import cplx as _cplx
 
+    # GNSS_DSP_TIMING=1: per-stage wall split of the streaming loop
+    # (host-read wait / upload+convert / scan+row-readback), printed to
+    # stderr at stream end — the long-capture receiver's attribution.
+    # Forcing the upload costs one extra tunnel RTT per chunk, so the
+    # split is measure-only (off by default).
+    timing = bool(os.environ.get("GNSS_DSP_TIMING"))
+    t_read = t_up = t_scan = 0.0
+    import time as _time
+
     while True:
         # refill device chunk (the next file read was already started on
         # the prefetch thread while the previous scan ran)
+        t0 = _time.perf_counter()
         nbuf = len(buf) // 2
         want = chunk_samples + params.nmax - nbuf
         if want > 0:
@@ -583,6 +594,7 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
                 nbuf = len(buf) // 2
         if nbuf == 0:
             break
+        t_read += _time.perf_counter() - t0
 
         nb = blocks_per_scan
         if max_blocks is not None:
@@ -596,8 +608,13 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
         # raw int8 bytes upload as-is and the zero pad is appended
         # DEVICE-side (from_int8_iq): 2 bytes/sample on the host link,
         # values bit-identical to the old host-deinterleave route
+        t0 = _time.perf_counter()
         tail = pad_extra + (-(nbuf + pad_extra)) % 1024
         x_dev = _cplx.from_int8_iq(buf, pad=tail)
+        if timing:
+            np.asarray(x_dev[0][:1])          # force the upload chain
+            t_up += _time.perf_counter() - t0
+            t0 = _time.perf_counter()
         state = state._replace(stalled=jnp.zeros_like(state.stalled))
         if mesh is not None:
             from gnss_dsp_tpu.parallel.track import track_scan_sharded
@@ -614,6 +631,8 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
                 coffset_df=coffset_df, sigp=sigp,
             )
         emitted_any = emit_rows(rows_f, rows_i, nb)
+        if timing:
+            t_scan += _time.perf_counter() - t0
         total_blocks += nb
         if max_blocks is not None and total_blocks >= max_blocks:
             break
@@ -652,6 +671,12 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
             # full XLA compile per signal family (track-all paid it x11)
             break
 
+    if timing:
+        import sys as _sys
+
+        print(f"[track_file timing] read-wait {t_read:.2f} s  "
+              f"upload+convert {t_up:.2f} s  scan+rows {t_scan:.2f} s",
+              file=_sys.stderr)
     if recover_after >= 0:
         acc_re = np.asarray(state.acc_re)
         acc_im = np.asarray(state.acc_im)

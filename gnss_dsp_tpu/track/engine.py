@@ -115,8 +115,8 @@ _CBOC_W6 = np.float32(0.301511)
 # DIFFERENT signals can in principle batch into one scan.
 # Lanes (f32; L/SUB are exact integers <= 5.11e6 < 2^24):
 SIGP_CF_HI, SIGP_CF_LO, SIGP_EL, SIGP_L, SIGP_SPP, SIGP_SUB, \
-    SIGP_A0, SIGP_A1, SIGP_A6, SIGP_COH, SIGP_NOV = range(11)
-SIGP_LANES = 11
+    SIGP_A0, SIGP_A1, SIGP_A6, SIGP_COH, SIGP_NOV, SIGP_TM = range(12)
+SIGP_LANES = 12
 
 # every non-TMBOC subcarrier factor is affine in the two square waves:
 # factor = a0 + a1*boc1 + a6*boc6 (exact in f32 for the 0.5/1 weights):
@@ -154,8 +154,15 @@ def sigp_row(cf_hi, cf_lo, el, L, spp, sub, subcarrier: str,
         a0, a1, a6 = 1.0, 0.0, 0.0
     else:
         a0, a1, a6 = SUBC_COEF.get(subcarrier, (0.0, 0.0, 0.0))
+    # TMBOC's slot gating is not affine in the square waves, so it rides
+    # its own RUNTIME gate lane (round 5): factor = a0 + a1*boc + a6*boc6
+    # + tm*(slot*boc6 + (1-slot)*boc).  A "tmboc"-kind program computes
+    # the slot plane for every channel but tm = 0 reduces non-TMBOC
+    # channels to the affine form exactly — which is what lets gps-l1cp /
+    # beidou-b1cp join mixed-constellation scans (track multi).
+    tm = 1.0 if subcarrier == "tmboc" else 0.0
     return np.array([cf_hi, cf_lo, el, L, spp, sub, a0, a1, a6,
-                     coh, nov], np.float32)
+                     coh, nov, tm], np.float32)
 
 
 def sigp_from_params(p: "TrackParams", C: int):
@@ -329,8 +336,13 @@ def _track_block(x_chunk, chunk_len, code_tab, ratio, st: TrackState,
             bp6 = jnp.mod(jnp.floor(12.0 * cp_i).astype(jnp.int32), 2)
             boc6 = (1 - 2 * bp6).astype(jnp.float32)
             if kind == "tmboc":
+                # runtime form (see sigp_row): non-TMBOC channels in a
+                # tmboc-kind mixed program carry tm = 0
                 slot = jnp.take(jnp.asarray(_TMBOC), jnp.mod(cidx, 33))
-                chips = chips * (slot * boc6 + (1.0 - slot) * boc)
+                chips = chips * (sp[SIGP_A0] + sp[SIGP_A1] * boc
+                                 + sp[SIGP_A6] * boc6
+                                 + sp[SIGP_TM]
+                                 * (slot * boc6 + (1.0 - slot) * boc))
             else:
                 chips = chips * (sp[SIGP_A0] + sp[SIGP_A1] * boc
                                  + sp[SIGP_A6] * boc6)
@@ -559,7 +571,8 @@ def _step_pallas(x2, chunk_len, code_rows_ext, ratios,
         ptr_k,
     ], axis=1)
     sf = jnp.stack([fr_e, fr_p, fr_l, cf,
-                    sigp[:, SIGP_A0], sigp[:, SIGP_A1], sigp[:, SIGP_A6]],
+                    sigp[:, SIGP_A0], sigp[:, SIGP_A1], sigp[:, SIGP_A6],
+                    sigp[:, SIGP_TM]],
                    axis=1)
 
     # per-channel sample windows are selected INSIDE the kernel (scalar-

@@ -203,3 +203,69 @@ def test_multi_coherent_mixed(monkeypatch):
         assert a.shape == b.shape and a.shape[0] >= 30, (name, a.shape)
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-2,
                                    err_msg=name)
+
+
+# TMBOC in a mix (round 5): the slot gate is the runtime SIGP_TM lane,
+# so gps-l1cp joins a tmboc-kind shared program whose other channels
+# (BPSK, CBOC) carry tm = 0 — each must reproduce its single-signal run.
+TMBOC_TRIO = [
+    ("gps-l1cp", 3, 700.0, 5100.4),
+    ("gps-l1", 7, 900.0, 317.25),
+    ("galileo-e1b", 24, -1500.0, 2047.3),
+]
+
+
+def _scene_list(trio, seconds=0.05):
+    n = int(FS * seconds)
+    x = np.zeros(n, np.complex64)
+    for name, prn, dop, cp in trio:
+        sig = get_signal(name)
+        code = sig.code_table((prn,))[0].astype(np.float64)
+        x += synth.synth_iq(code, sig.chip_rate, FS, n, doppler_hz=dop,
+                            code_phase=cp, cn0_dbhz=None,
+                            carrier_ratio=sig.track_carrier_ratio(prn),
+                            subcarrier=sig.subcarrier)
+    x = x * np.exp(2j * np.pi * COFF / FS * np.arange(n))
+    return synth.to_int8_iq(x, scale=24.0)
+
+
+def _run_trio(data, blocks, trio, multi):
+    sigs = [get_signal(name) for name, *_ in trio]
+    if multi:
+        chans = [TrackChannel(prn=p, doppler=d, code_offset=cp)
+                 for _, p, d, cp in trio]
+        track_file(sigs[0], io.BytesIO(data), FS, COFF, chans,
+                   loop_dwells=(8, 8), max_blocks=blocks, sigs=sigs)
+        return [c.rows for c in chans]
+    out = []
+    for (name, prn, dop, cp), sig in zip(trio, sigs):
+        chans = [TrackChannel(prn=prn, doppler=dop, code_offset=cp)]
+        track_file(sig, io.BytesIO(data), FS, COFF, chans,
+                   loop_dwells=(8, 8), max_blocks=blocks)
+        out.append(chans[0].rows)
+    return out
+
+
+def _compare_trio(trio, single, multi):
+    for k, (name, prn, dop, cp) in enumerate(trio):
+        a = _rows(single[k])
+        b = _rows(multi[k])
+        assert a.shape == b.shape and a.shape[0] >= 20, (name, a.shape)
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-2,
+                                   err_msg=name)
+
+
+def test_multi_tmboc_mixed_xla():
+    data = _scene_list(TMBOC_TRIO)
+    _compare_trio(TMBOC_TRIO, _run_trio(data, 40, TMBOC_TRIO, False),
+                  _run_trio(data, 40, TMBOC_TRIO, True))
+
+
+def test_multi_tmboc_mixed_fused(monkeypatch):
+    monkeypatch.setenv("GNSS_DSP_PALLAS_INTERPRET", "1")
+    from gnss_dsp_tpu.track import driver as drv
+
+    monkeypatch.setattr(drv, "_pallas_ok", lambda *a, **k: True)
+    data = _scene_list(TMBOC_TRIO)
+    _compare_trio(TMBOC_TRIO, _run_trio(data, 32, TMBOC_TRIO, False),
+                  _run_trio(data, 32, TMBOC_TRIO, True))
