@@ -67,8 +67,8 @@ def main_multi(argv=None, x_cache: dict | None = None,
     scan over one pass of the stream.  Rows print with a "SIG:prn "
     prefix in each signal's native 9/14-column format.  TMBOC channels
     (gps-l1cp, beidou-b1cp) mix since round 5 via the runtime slot-gate
-    lane.  Excluded: the streamed long codes (gps-l2cl,
-    glonass-l1-p/l2-p — their HBM-streamed row layout doesn't mix)."""
+    lane, and streamed long codes (gps-l2cl, glonass-l1-p/l2-p) mix by
+    switching the whole program to the HBM-streamed row layout."""
     import optparse
 
     from gnss_dsp_tpu.models import get_signal

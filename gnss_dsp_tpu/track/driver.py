@@ -268,15 +268,13 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
         # mixes since round 5 (the slot gate is the runtime SIGP_TM
         # lane; a tmboc-kind program computes the slot plane for every
         # channel, tm = 0 reducing the others to the affine form
-        # exactly).  The streamed long codes keep their own row layout
-        # and stay excluded.  --mesh mixes ride the fused shard_map
-        # path (channels + sigp rows shard).
+        # exactly); streamed long codes mix too (the whole mix streams,
+        # see the pallas_stream envelope below).  --mesh mixes ride the
+        # fused shard_map path (channels + sigp rows shard).
         assert recover_after in (None, -1), \
             "multi-signal excludes recovery"
         assert mesh is None or fused_avail, \
             "multi-signal under --mesh needs the fused kernel"
-        assert all(s.code_length <= _STREAM_CODE_CHIPS for s in sigs), \
-            "streamed long codes do not mix"
     L = sig.code_length
     if recover_after is None:
         recover_after = 200 if sig.recover_default else -1
@@ -346,7 +344,12 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
             nmax=max(q.nmax for q in alls),
             pallas_tiles=max(q.pallas_tiles for q in alls),
             pallas_w=max(q.pallas_w for q in alls),
-            pallas_stream=False,
+            # a mix containing an HBM-streamed long code (round 5)
+            # streams EVERY channel's rows: the stream flag is a static
+            # program property, and the per-tile window DMA is
+            # length-agnostic — short-code channels just stream from
+            # their zero-padded slot of the shared [C, K, 128] table
+            pallas_stream=any(q.pallas_stream for q in alls),
             fused_scan=all(q.fused_scan for q in alls),
             pallas_v2=all(q.pallas_v2 for q in alls),
         )

@@ -269,3 +269,31 @@ def test_multi_tmboc_mixed_fused(monkeypatch):
     data = _scene_list(TMBOC_TRIO)
     _compare_trio(TMBOC_TRIO, _run_trio(data, 32, TMBOC_TRIO, False),
                   _run_trio(data, 32, TMBOC_TRIO, True))
+
+
+# Streamed long codes in a mix (round 5): a mix containing gps-l2cl
+# (767250 chips, HBM-streamed rows) switches the whole program to the
+# streamed layout; short-code channels stream from their zero-padded
+# slot of the shared row table.
+STREAM_DUO = [
+    # code phase near the period end: the driver discards samples
+    # to the first code boundary, and l2cl's period is 1.5 s
+    ("gps-l2cl", 7, 900.0, 767200.5),
+    ("gps-l1", 21, -1200.0, 317.25),
+]
+
+
+def test_multi_streamed_long_code_xla():
+    data = _scene_list(STREAM_DUO)
+    _compare_trio(STREAM_DUO, _run_trio(data, 40, STREAM_DUO, False),
+                  _run_trio(data, 40, STREAM_DUO, True))
+
+
+def test_multi_streamed_long_code_fused(monkeypatch):
+    monkeypatch.setenv("GNSS_DSP_PALLAS_INTERPRET", "1")
+    from gnss_dsp_tpu.track import driver as drv
+
+    monkeypatch.setattr(drv, "_pallas_ok", lambda *a, **k: True)
+    data = _scene_list(STREAM_DUO)
+    _compare_trio(STREAM_DUO, _run_trio(data, 24, STREAM_DUO, False),
+                  _run_trio(data, 24, STREAM_DUO, True))
