@@ -92,6 +92,13 @@ def main_multi(argv=None, x_cache: dict | None = None,
                       "integrates each signal's own overlay length "
                       "(overlay-free signals stay non-coherent); an "
                       "explicit M applies to every channel")
+    parser.add_option("--recover", action="store_true", default=False,
+                      help="unknown-code recovery for EVERY channel "
+                           "(round 5: e.g. B2bi + B2bq recover both "
+                           "memory codes in one pass); bins land in "
+                           "RECOVER_FILE-SIG-PRN.dat per channel")
+    parser.add_option("--recover-warmup", type="int", default=200)
+    parser.add_option("--recover-file", default="track-chips.dat")
     options, args = parser.parse_args(
         sys.argv[1:] if argv is None else argv)
     if len(args) != 4:
@@ -123,11 +130,18 @@ def main_multi(argv=None, x_cache: dict | None = None,
     if x_cache is not None and filename != "-":
         preloaded = _preload_chunk(filename, fs, options.chunk_ms, x_cache,
                                    lock=x_cache_lock)
+    recover_after = options.recover_warmup if options.recover else -1
     track_file(sigs[0], fp, fs, coffset, channels, loop_dwells=dwells,
                chunk_ms=options.chunk_ms,
                max_blocks=options.blocks or None, emit=emit,
-               recover_after=-1, preloaded=preloaded, sigs=sigs,
+               recover_after=recover_after, preloaded=preloaded, sigs=sigs,
                coffsets=coffsets, coherent_blocks=options.coherent)
+    if options.recover:
+        base, ext = os.path.splitext(options.recover_file)
+        for s, ch in zip(sigs, channels):
+            with open(f"{base}-{s.name}-{ch.prn}{ext}", "w") as f:
+                for v in ch.recovered[: s.code_length]:
+                    f.write("%f %f\n" % (v.real, v.imag))
     return 0
 
 

@@ -271,13 +271,20 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
         # exactly); streamed long codes mix too (the whole mix streams,
         # see the pallas_stream envelope below).  --mesh mixes ride the
         # fused shard_map path (channels + sigp rows shard).
-        assert recover_after in (None, -1), \
-            "multi-signal excludes recovery"
+        # unknown-code recovery mixes too (round 5): the per-chip bins
+        # are [C, Lmax] state and the XLA correlator scatters each
+        # channel's wiped samples modulo its OWN runtime code length —
+        # e.g. B2bi + B2bq recover both memory codes in one pass (the
+        # reference ran two processes).  Not under --mesh (recovery is
+        # non-fused; multi under mesh rides the fused shard_map branch).
         assert mesh is None or fused_avail, \
             "multi-signal under --mesh needs the fused kernel"
-    L = sig.code_length
+        assert mesh is None or recover_after in (None, -1), \
+            "multi-signal recovery does not shard (non-fused); drop --mesh"
+    L = max(s.code_length for s in sigs)
     if recover_after is None:
-        recover_after = 200 if sig.recover_default else -1
+        recover_after = (200 if all(s.recover_default for s in sigs)
+                         else -1)
 
     def _ovl_len(s):
         return (len(s.secondary(1)) if s.secondary is not None else 1)
