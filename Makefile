@@ -21,7 +21,7 @@ track: $(DATA)
 	./track-all-gnss-2017-L1L2L5.sh $(DATA)
 
 test:
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q -m "" -n 4
 
 bench:
 	python bench.py

@@ -291,7 +291,10 @@ TRACK = {
 }
 
 TRACK_SLOW = ({k for k, c in TRACK.items() if c.fs > 8.2e6}
-              | {"track-gps-l2cl.py"})
+              | {"track-gps-l2cl.py",
+                 # ~80 s each (1+ s of data to cover the 1 s P-code
+                 # period; the heaviest rows in the default loop)
+                 "track-glonass-l1-p.py", "track-glonass-l2-p.py"})
 
 
 @pytest.mark.parametrize("script", _params(TRACK, TRACK_SLOW))

@@ -91,3 +91,22 @@ def test_from_int8_iq_bit_identical(rng):
     np.testing.assert_array_equal(np.asarray(host[1]),
                                   np.asarray(dev[1][:1000]))
     assert float(np.abs(np.asarray(dev[0][1000:])).max()) == 0.0
+
+
+def test_synth_iq_chunked_continuation_exact():
+    """synth_iq(t0) chunked == one-shot, exactly: all phase ramps are
+    affine in the absolute sample index (the long-capture generator's
+    correctness contract, tools/synth_sky.py)."""
+    import numpy as np
+
+    from gnss_dsp_tpu.utils.synth import synth_iq
+
+    rng = np.random.default_rng(5)
+    code = rng.choice([-1.0, 1.0], 1023)
+    kw = dict(chip_rate=1.023e6, fs=4.096e6, doppler_hz=1234.5,
+              code_phase=321.7, carrier_phase=0.3, cn0_dbhz=None,
+              carrier_ratio=1540.0, subcarrier="cboc",
+              data_bits=np.array([1.0, -1.0, -1.0, 1.0]))
+    full = synth_iq(code, n=4096 * 4, **kw)
+    parts = [synth_iq(code, n=4096, t0=k * 4096, **kw) for k in range(4)]
+    np.testing.assert_array_equal(full, np.concatenate(parts))
