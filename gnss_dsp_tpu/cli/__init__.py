@@ -28,6 +28,10 @@ def enable_compilation_cache():
 
         _os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # cache EVERYTHING: on the axon backend even a scalar
+        # convert_element_type pays a ~0.4 s remote-compile round trip
+        # per fresh process (measured round 5: 7 sub-threshold ops =
+        # ~4-7 s of every cold CLI run), while a cache load is ~50 ms
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     except Exception:
         pass
