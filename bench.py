@@ -415,13 +415,20 @@ def bench_acquire_coherent(name="gps-l5i", m_coh=None,
 
 
 def bench_acquire_coherent_sustained(name="gps-l5i", segments=6,
-                                     dops_cfg=(-7000.0, 7000.0, 200.0)):
+                                     dops_cfg=(-7000.0, 7000.0, 200.0),
+                                     nprn=32, plant=25, reps=5):
     """Steady-state rate of the FUSED extended-coherent engine
     (ops/pallas_acquire_coh spectral-combine kernel): same multi-epoch
     one-dispatch methodology as bench_acquire_sustained.  The planted
-    PRN (on-bin doppler — the 200 Hz grid scallops a 10 ms coherent
-    span, so off-bin plants are a sensitivity test, not a perf one)
-    must win every epoch."""
+    PRN (on-bin doppler — the grid scallops a long coherent span, so
+    off-bin plants are a sensitivity test, not a perf one) must win
+    every epoch.  Per-PRN secondaries (CS100-class) get per-PRN
+    overlays in the combine (pc = 1, FFT-combine shares the heavy
+    transform across PRNs).
+
+    Cells count the EVALUATED window lags (dw = 2n for pad2 signals) —
+    the same convention as the non-coherent v2/v2p sustained rows; the
+    unit also states the reference-circular (n-lag) rate."""
     import jax as _jax
     import jax.numpy as jnp
 
@@ -432,20 +439,36 @@ def bench_acquire_coherent_sustained(name="gps-l5i", segments=6,
     from gnss_dsp_tpu.utils.synth import synth_iq
 
     sig = get_signal(name)
-    sec = np.asarray(sig.secondary(1), np.float64)
-    m = len(sec)
-    N = len(sec)
+    prns = list(range(1, nprn + 1))
+    secs = [np.asarray(sig.secondary(p), np.float64) for p in prns]
+    per_prn = any(not np.array_equal(s, secs[0]) for s in secs[1:])
+    sec = secs[prns.index(plant)]
+    m = N = len(sec)
     n = int(round(sig.acq_fs * sig.acq_coherent_ms / 1000.0))
     ms = int(2 * m * sig.acq_coherent_ms)
     blocks = int(ms / sig.acq_coherent_ms)
-    prns = list(range(1, 33))
     fast = coh._coh_fast_plan(sig, n, m, N, len(prns), blocks)
-    assert fast is not None, "fused coherent plan regressed"
+    assert fast is not None and fast[0] == "spec", \
+        "fused coherent plan regressed"
     mode, window_t, dw, n_valid, n1, n2, bt, pc, ac = fast
+    if per_prn:
+        pc = 1
     dops, fixed = eng.doppler_grid(sig, dops_cfg)
     D = len(dops)
+    # doppler chunking: shared-overlay rows take the whole grid in one
+    # chunk (the [DC, G, A, W] spectra exist once); per-PRN rows
+    # materialize them per PRN in the loop plus the complex64 FFT
+    # intermediates, so they need the engine's HBM budget
+    dop_chunk = D if not per_prn else min(D, max(
+        1, 256 * 2**20 // (max(blocks, (blocks // m) * N)
+                           * window_t * 4)))
+    Dp = -(-D // dop_chunk) * dop_chunk
+    fixed_p = np.zeros(Dp, np.int32)
+    fixed_p[:D] = fixed
+    valid_p = np.zeros(Dp, bool)
+    valid_p[:D] = True
     seg_len = blocks * n
-    x = synth_iq(sig.code_table((25,))[0], sig.chip_rate, sig.acq_fs,
+    x = synth_iq(sig.code_table((plant,))[0], sig.chip_rate, sig.acq_fs,
                  segments * seg_len + 2 * n, doppler_hz=1400.0,
                  code_phase=100.0, cn0_dbhz=42.0,
                  carrier_ratio=sig.track_carrier_ratio(0),
@@ -458,10 +481,13 @@ def bench_acquire_coherent_sustained(name="gps-l5i", segments=6,
           jnp.asarray(cf_host.imag.astype(np.float32)).astype(jnp.bfloat16))
     a_i = np.arange(N)[:, None]
     m_i = np.arange(blocks)[None, :]
-    sec_mat = jnp.asarray(sec[(a_i + m_i) % N].astype(np.float32))
-    fj = jnp.asarray(np.asarray(fixed, np.int32))
-    vj = jnp.ones(D, bool)
-    kw = dict(n=n, window=window_t, blocks=blocks, m_coh=m, dop_chunk=D,
+    pat = (a_i + m_i) % N
+    sec_mat = jnp.asarray(np.stack(
+        [s[pat] for s in (secs if per_prn else [sec])]).astype(np.float32))
+    fj = jnp.asarray(fixed_p)
+    vj = jnp.asarray(valid_p)
+    kw = dict(n=n, window=window_t, blocks=blocks, m_coh=m,
+              dop_chunk=int(dop_chunk),
               n1=n1, n2=n2, bt=bt, pc=pc, n_valid=n_valid,
               data_window=(dw if dw != window_t else 0), mode=mode, ac=ac)
 
@@ -482,24 +508,33 @@ def bench_acquire_coherent_sustained(name="gps-l5i", segments=6,
 
     args = (xs[0], xs[1], cf[0], cf[1], sec_mat)
     out = np.asarray(run_all(*args))
+    pi = prns.index(plant)
+    # the planted code drifts at code_doppler/ratio chips/s — long
+    # (CS100) segments move a few chips between epochs
+    drift = (blocks * sig.acq_coherent_ms / 1000.0
+             * 1400.0 / sig.track_carrier_ratio(0))
     for s in range(segments):
-        assert np.argmax(out[s, 0]) == 24, (s, np.argmax(out[s, 0]))
-        code = float(out[s, 1, 24]) * sig.code_length / n % sig.code_length
-        assert abs(code - 100.0) < 2.0, (s, code)
+        assert np.argmax(out[s, 0]) == pi, (s, np.argmax(out[s, 0]))
+        code = float(out[s, 1, pi]) * sig.code_length / n % sig.code_length
+        assert abs(code - (100.0 + s * drift)) < 2.0, (s, code)
     best = float("inf")
-    for _ in range(5):
+    for _ in range(reps):
         t0 = time.perf_counter()
         out = np.asarray(run_all(*args))
         best = min(best, (time.perf_counter() - t0) / segments)
-    cells = len(prns) * D * n * blocks
+    cells = len(prns) * D * dw * blocks
+    ref_cells = len(prns) * D * n * blocks
     return {
         "metric": f"{name.replace('-', '_')}"
                   "_coherent_acq_cells_per_s_sustained",
         "value": round(cells / best, 1),
         "unit": f"search-cells/s sustained ({len(prns)} sat x {D} dop x "
-                f"{n} x {blocks} blk, {m}-period coherent, {N}-chip "
-                f"overlay x all alignments, {segments} epochs/dispatch, "
-                f"mode={mode})",
+                f"{dw} evaluated window lags x {blocks} blk — same "
+                f"window-cell convention as the non-coherent pad2 rows; "
+                f"= {ref_cells / best / 1e9:.2f} Gcells/s over the "
+                f"reference's n={n} circular lags — {m}-period coherent, "
+                f"{N}-chip {'per-PRN ' if per_prn else ''}overlay x all "
+                f"alignments, {segments} epochs/dispatch, mode={mode})",
         "vs_baseline": round(cells / best / _CPU_ACQ_CELLS_S, 2),
     }
 
@@ -713,6 +748,13 @@ def main():
         bench_acquire_coherent("gps-l5i"),
         bench_acquire_coherent_sustained("gps-l5i"),
         bench_acquire_coherent_sustained("beidou-b1i"),
+        # the worst alignment count: E5aQ CS100 with PER-PRN overlays
+        # (100 alignment surfaces ride ceil(A/ac) chunked kernel passes;
+        # the per-PRN combine is FFT-shared) — a smaller grid keeps the
+        # honest cost row affordable
+        bench_acquire_coherent_sustained(
+            "galileo-e5aq", segments=2, dops_cfg=(-2000.0, 2000.0, 100.0),
+            nprn=8, plant=2, reps=2),
     ):
         print(json.dumps(_fill_acq_baseline(row)), flush=True)
     # --- tracking: the BPSK anchor + one row per widened engine shape

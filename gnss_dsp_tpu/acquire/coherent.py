@@ -35,6 +35,34 @@ import jax.numpy as jnp
 from gnss_dsp_tpu.ops import cplx, fft, nco
 from gnss_dsp_tpu.acquire import engine as _eng
 
+# device-resident permuted bf16 code spectra, LRU-capped (~8 MB per
+# 32-PRN W=65536 entry): repeated coherent calls on the same signal
+# (multi-epoch receivers, the one-shot CLI's 2nd+ invocation in a
+# process, sensitivity sweeps) skip the host-side FFT build AND the
+# code upload — the dominant one-shot cost over the ~14 MB/s tunnel.
+_CODE_SPECTRA_CACHE: "dict[tuple, tuple]" = {}
+_CODE_SPECTRA_CAP = 4
+
+
+def _device_code_spectra(sig, prns: tuple, n: int, window_t: int,
+                         n1: int, n2: int):
+    import ml_dtypes
+
+    from gnss_dsp_tpu.ops.pallas_acquire2 import permute_host2
+
+    key = (sig.name, prns, n, window_t, n1, n2)
+    hit = _CODE_SPECTRA_CACHE.pop(key, None)
+    if hit is None:
+        cf_host = permute_host2(
+            _eng.build_code_ffts(sig, prns, n, window_t), n1, n2)
+        # bf16 cast on the HOST: halves the code-spectra upload
+        hit = (jnp.asarray(cf_host.real.astype(ml_dtypes.bfloat16)),
+               jnp.asarray(cf_host.imag.astype(ml_dtypes.bfloat16)))
+    _CODE_SPECTRA_CACHE[key] = hit              # re-insert = MRU
+    while len(_CODE_SPECTRA_CACHE) > _CODE_SPECTRA_CAP:
+        _CODE_SPECTRA_CACHE.pop(next(iter(_CODE_SPECTRA_CACHE)))
+    return hit
+
 
 @partial(jax.jit, static_argnames=("n", "window", "blocks", "m_coh",
                                    "dop_chunk", "n1", "n2", "bt", "pc",
@@ -52,8 +80,10 @@ def grid_search_coherent_fast(x, code_f_perm, dopp_fixed, dopp_valid,
     non-coherent search geometry (window = n circular or the 2n
     pad2/v2p route), see the kernel module docstring.
 
-    sec_mat: f32 [A, B] = sec[(a + m) mod N] at GLOBAL block index m
-    (identical to the XLA engine's per-group pattern when m_coh == N).
+    sec_mat: f32 [NS, A, B] = sec[(a + m) mod N] at GLOBAL block index m
+    (identical to the XLA engine's per-group pattern when m_coh == N);
+    NS == 1 shares one overlay across PRNs, NS == P carries per-PRN
+    overlays (spec mode with pc == 1 only).
     Returns (metric [P], code_idx [P], dop_idx [P], align [P]).
     """
     from gnss_dsp_tpu.acquire.engine import _mix_fft_perm
@@ -64,7 +94,7 @@ def grid_search_coherent_fast(x, code_f_perm, dopp_fixed, dopp_valid,
     Dp = dopp_fixed.shape[0]
     n_chunks = Dp // dop_chunk
     G = blocks // m_coh
-    A = sec_mat.shape[0]
+    A = sec_mat.shape[1]
     zero_p = jnp.zeros((), jnp.uint32)
     dw = data_window or window
     xb = _eng.block_windows(x, n, dw, blocks)
@@ -91,12 +121,13 @@ def grid_search_coherent_fast(x, code_f_perm, dopp_fixed, dopp_valid,
             # coherent combine in SPECTRAL space (the IDFT is linear in
             # F): Fa[d, g, a] = sum_m conj(w[a, m]) F[d, g*M + m] — a
             # small memory-bound einsum, after which the kernel does
-            # exactly the non-coherent kernel's per-row work
+            # exactly the non-coherent kernel's per-row work.  sec_mat
+            # is [NS, A, B]: NS == 1 shares one overlay across PRNs
+            # (NH/CS shared secondaries); NS == P gives each PRN its
+            # own (CS100-class per-PRN secondaries, round 5) — the
+            # combine then runs per PRN inside the chunk loop (pc == 1)
+            # while the shared data FFT above is computed once.
             bf = jnp.bfloat16
-            wre = (sec_mat[None] * cosang[:, None, :]).astype(bf)
-            wim = (-sec_mat[None] * sinang[:, None, :]).astype(bf)
-            wg = (wre.reshape(dop_chunk, A, G, m_coh),
-                  wim.reshape(dop_chunk, A, G, m_coh))
             Fg = (F[0].reshape(dop_chunk, G, m_coh, window),
                   F[1].reshape(dop_chunk, G, m_coh, window))
 
@@ -104,8 +135,43 @@ def grid_search_coherent_fast(x, code_f_perm, dopp_fixed, dopp_valid,
                 return jnp.einsum("dagm,dgmw->dgaw", a, b,
                                   preferred_element_type=jnp.float32)
 
-            Far = (es(wg[0], Fg[0]) - es(wg[1], Fg[1])).astype(bf)
-            Fai = (es(wg[0], Fg[1]) + es(wg[1], Fg[0])).astype(bf)
+            def combine(sm):
+                wre = (sm[None] * cosang[:, None, :]).astype(bf)
+                wim = (-sm[None] * sinang[:, None, :]).astype(bf)
+                wg = (wre.reshape(dop_chunk, A, G, m_coh),
+                      wim.reshape(dop_chunk, A, G, m_coh))
+                return ((es(wg[0], Fg[0]) - es(wg[1], Fg[1])).astype(bf),
+                        (es(wg[0], Fg[1]) + es(wg[1], Fg[0])).astype(bf))
+
+            # CS100-class combine via FFT over the overlay axis (round
+            # 5): when A == m_coh == N, Fa[d,g,a] = sum_m s[(a+m) mod N]
+            # * (rot*F)[d,g,m] is a CIRCULAR CORRELATION in the overlay
+            # index — IFFT_N(conj(FFT_N(rot*F)) * FFT_N(s)).  The heavy
+            # FFT_N(rot*F) is computed ONCE and shared across PRNs
+            # (per-PRN secondaries only change the tiny FFT_N(s)),
+            # cutting the per-PRN combine from O(A*M) to O(N) MACs per
+            # cell — ~10x at N = 100.  Falls back to the einsum for
+            # small N where the matmul is cheaper than the FFT plumbing.
+            fft_combine = (A == m_coh) and A >= 25
+            if fft_combine:
+                # sec_mat[ns, a, 0] = s[(a+0) mod N] = the raw chips
+                sec_chips = sec_mat[:, :, 0]
+                rot = (cosang - 1j * sinang).astype(jnp.complex64)
+                y = ((Fg[0].astype(jnp.float32)
+                      + 1j * Fg[1].astype(jnp.float32))
+                     * rot.reshape(dop_chunk, G, m_coh)[..., None])
+                # z[a] = sum_m y[m] s[(m+a) mod N] = IFFT(N*IFFT(y)*S)
+                Yc = jnp.fft.ifft(y, axis=2) * np.float32(A)
+
+                def combine_fft(s_chips):
+                    S = jnp.fft.fft(s_chips.astype(jnp.complex64))
+                    Fa = jnp.fft.ifft(Yc * S[None, None, :, None], axis=2)
+                    return (jnp.real(Fa).astype(bf),
+                            jnp.imag(Fa).astype(bf))
+
+            if sec_mat.shape[0] == 1:
+                Far, Fai = (combine_fft(sec_chips[0]) if fft_combine
+                            else combine(sec_mat[0]))
             # alignment chunks (plan_coh_spec.ac): when all A alignment
             # surfaces don't fit VMEM, run ceil(A/ac) passes over
             # (wrapped) alignment subsets and fold the max; wrapped pad
@@ -121,6 +187,9 @@ def grid_search_coherent_fast(x, code_f_perm, dopp_fixed, dopp_valid,
         for i in range(0, P, pc):
             cf = (code_f_perm[0][i:i + pc], code_f_perm[1][i:i + pc])
             if mode == "spec":
+                if sec_mat.shape[0] > 1:                  # pc == 1
+                    Far, Fai = (combine_fft(sec_chips[i]) if fft_combine
+                                else combine(sec_mat[i]))
                 parts = []
                 for a0, ids in a_chunks:
                     if len(a_chunks) == 1:
@@ -146,8 +215,10 @@ def grid_search_coherent_fast(x, code_f_perm, dopp_fixed, dopp_valid,
                     al_r = jnp.where(upd, al2, al_r)
                 outs.append((pk, cix, al_r))
             else:
+                # blk mode: shared overlay only (per-PRN secondaries
+                # take the spec path or the XLA per-PRN loop)
                 outs.append(corr_surface_coh(
-                    F, cf, cosang, sinang, sec_mat,
+                    F, cf, cosang, sinang, sec_mat[0],
                     n1=n1, n2=n2, bt=bt, m_coh=m_coh, n_valid=n_valid))
         if len(outs) == 1:
             peak, code_idx, al = outs[0]
@@ -333,9 +404,16 @@ def acquire_signal_coherent(sig, x_int, prns, doppler_search,
     "xla" forces the einsum path (always-circular window = n).
     """
     n = int(round(sig.acq_fs * sig.acq_coherent_ms / 1000.0))
-    sec = (sig.secondary(prns[0]) if sig.secondary is not None
-           else np.ones(1, np.int8))
-    sec = np.asarray(sec, np.float32)
+    secs = [np.asarray(sig.secondary(p) if sig.secondary is not None
+                       else np.ones(1, np.int8), np.float32)
+            for p in prns]
+    sec = secs[0]
+    # CS100-class signals carry a DIFFERENT secondary per PRN
+    # (e5aq.py:13, b2ap Weil-100, e6c ...): each PRN then gets its own
+    # overlay in the combine (round 5 — previously prns[0]'s overlay
+    # was applied to every searched PRN)
+    per_prn = any(s.shape != sec.shape or not np.array_equal(s, sec)
+                  for s in secs[1:])
     if m_coh is None:
         m_coh = len(sec)
     if ms is None:
@@ -350,8 +428,11 @@ def acquire_signal_coherent(sig, x_int, prns, doppler_search,
     # overlay-free N == 1 case) — otherwise fall back to XLA
     fast = (_coh_fast_plan(sig, n, int(m_coh), N, len(prns), blocks)
             if engine in ("auto", "fused") and m_coh % N == 0 else None)
+    if fast and per_prn and fast[0] != "spec":
+        fast = None        # per-PRN overlays need the spec combine
     if engine == "fused" and fast is None:
         raise ValueError(
+            "per-PRN overlays need the spec-plan shape" if per_prn else
             "no fused coherent plan for this shape" if m_coh % N == 0 else
             f"fused engine needs m_coh % overlay_len == 0 "
             f"(m_coh={m_coh}, overlay={N})")
@@ -377,35 +458,45 @@ def acquire_signal_coherent(sig, x_int, prns, doppler_search,
     valid = np.zeros(Dp, bool)
     valid[: len(fixed)] = True
 
-    cf_host = _eng.build_code_ffts(sig, prns, n, window)
     x = cplx.from_numpy(x_int) if not isinstance(x_int, tuple) else x_int
     if fast:
-        from gnss_dsp_tpu.ops.pallas_acquire2 import permute_host2
-
-        import ml_dtypes
-
         mode, window_t, dw, n_valid, n1, n2, bt, pc, ac = fast
-        cf_host = permute_host2(cf_host, n1, n2)
-        # bf16 cast on the HOST: halves the code-spectra upload (the
-        # dominant one-shot cost over the ~14 MB/s axon tunnel)
-        code_f = (jnp.asarray(cf_host.real.astype(ml_dtypes.bfloat16)),
-                  jnp.asarray(cf_host.imag.astype(ml_dtypes.bfloat16)))
+        if per_prn:
+            pc = 1         # per-PRN combine runs inside the PRN loop
+        code_f = _device_code_spectra(sig, tuple(prns), n, window_t,
+                                      n1, n2)
         a_i = np.arange(N)[:, None]
         m_i = np.arange(blocks)[None, :]
-        sec_mat = sec[(a_i + m_i) % N].astype(np.float32)
+        pat = (a_i + m_i) % N
+        sm = np.stack([s[pat] for s in (secs if per_prn else [sec])]
+                      ).astype(np.float32)              # [NS, A, B]
         metric, code_idx, dop_idx, align = grid_search_coherent_fast(
             x, code_f, jnp.asarray(fixed_p), jnp.asarray(valid),
-            jnp.asarray(sec_mat), n=n, window=window_t, blocks=blocks,
+            jnp.asarray(sm), n=n, window=window_t, blocks=blocks,
             m_coh=int(m_coh), dop_chunk=int(dop_chunk),
             n1=n1, n2=n2, bt=bt, pc=pc, n_valid=n_valid,
             data_window=(dw if dw != window_t else 0), mode=mode, ac=ac)
         linear = dw == 2 * n
     else:
+        cf_host = _eng.build_code_ffts(sig, prns, n, window)
         cf = cplx.from_numpy(cf_host)
-        metric, code_idx, dop_idx, align = grid_search_coherent(
-            x, cf, jnp.asarray(fixed_p), jnp.asarray(valid),
-            jnp.asarray(sec), n=n, window=window, blocks=blocks,
-            m_coh=int(m_coh), dop_chunk=int(dop_chunk))
+        if per_prn:
+            # per-PRN overlays on the XLA path: one call per PRN (the
+            # data FFT is re-done per PRN — correctness fallback, the
+            # spec fast path is the performant route)
+            parts = [grid_search_coherent(
+                x, (cf[0][k:k + 1], cf[1][k:k + 1]),
+                jnp.asarray(fixed_p), jnp.asarray(valid),
+                jnp.asarray(secs[k]), n=n, window=window, blocks=blocks,
+                m_coh=int(m_coh), dop_chunk=int(dop_chunk))
+                for k in range(len(prns))]
+            metric, code_idx, dop_idx, align = (
+                jnp.concatenate([p[j] for p in parts]) for j in range(4))
+        else:
+            metric, code_idx, dop_idx, align = grid_search_coherent(
+                x, cf, jnp.asarray(fixed_p), jnp.asarray(valid),
+                jnp.asarray(sec), n=n, window=window, blocks=blocks,
+                m_coh=int(m_coh), dop_chunk=int(dop_chunk))
         linear = False
     metric = np.asarray(metric)
     code_idx = np.asarray(code_idx)

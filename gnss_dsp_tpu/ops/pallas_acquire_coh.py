@@ -124,8 +124,14 @@ def plan_coh_spec(window: int, G: int, A: int, P: int):
         return None
     if pick_g(n1) != 1:
         return None
+    # measured hard cap on resident accQ bytes (round 5, W=65536 bt=1:
+    # A=18 compiles, A=20 OOMs by 1.6M and A=17/bt=2 by 0.4M while the
+    # additive model admitted all three — the per-slot cost grows
+    # superlinearly near the limit, so large-A chunked plans get a
+    # conservative accQ cap AND bt pinned to 1 (measured safe).
+    acc_cap = int(8.5e6 // (8 * window))
     ac_max = 0
-    for ac in range(A, 0, -1):
+    for ac in range(min(A, max(acc_cap, 1)), 0, -1):
         if _vmem_spec(window, ac, 1, 1) <= _VMEM_LIMIT:
             ac_max = ac
             break
@@ -135,7 +141,7 @@ def plan_coh_spec(window: int, G: int, A: int, P: int):
     ac = -(-A // passes)            # smallest ac with that pass count
     best = None
     GA = G * ac
-    for bt in range(GA, 0, -1):
+    for bt in ([1] if passes > 1 else range(GA, 0, -1)):
         if GA % bt:
             continue
         for pc in range(min(P, 8), 0, -1):

@@ -271,3 +271,90 @@ def test_coh_engine_fast_low_cn0(rng, monkeypatch):
     err = abs(r.code_offset - cp0)
     assert min(err, sig.code_length - err) < 1.0, r
     assert abs(r.doppler - doppler) <= 25.0, r
+
+
+def test_coh_per_prn_overlays(rng, monkeypatch):
+    """Per-PRN secondaries (CS100-class, e5aq.py:13): each searched PRN
+    gets its OWN overlay in the spectral combine (round 5).  Two planted
+    PRNs carrying different overlays must both be found at full metric;
+    with the pre-round-5 shared-overlay behavior PRN B's coherent sum
+    would collapse.  Fused (interpret) and XLA per-PRN paths agree."""
+    monkeypatch.setenv("GNSS_DSP_PALLAS_INTERPRET", "1")
+    import dataclasses as _dc
+
+    from gnss_dsp_tpu.models import get_signal
+    from gnss_dsp_tpu.utils.synth import synth_iq
+    from gnss_dsp_tpu.acquire.coherent import acquire_signal_coherent
+
+    base = get_signal("beidou-b1i")
+    rngo = np.random.default_rng(3)
+    ovls = {p: rngo.choice([-1, 1], 20).astype(np.int8)
+            for p in (5, 34)}
+    # default acq_fs (8.192 MHz): dw = 16384 has the g == 1 aligned
+    # split the spec combine needs (per-PRN overlays are spec-only)
+    sig = _dc.replace(base, secondary=lambda p: ovls[p])
+    n = int(sig.acq_fs * 0.046)
+    x = np.zeros(n, np.complex64)
+    plants = {5: (20.0, 500.0), 34: (-20.0, 1200.0)}
+    for prn, (dop, cp) in plants.items():
+        x += synth_iq(sig.code_table((prn,))[0], sig.chip_rate,
+                      sig.acq_fs, n, doppler_hz=dop, code_phase=cp,
+                      cn0_dbhz=None, carrier_ratio=sig.carrier_ratio,
+                      data_bits=ovls[prn], rng=rng)
+    grid = (-40.0, 41.0, 20.0)
+    rf = acquire_signal_coherent(sig, x, [5, 34], grid, ms=40,
+                                 engine="fused")
+    rx = acquire_signal_coherent(sig, x, [5, 34], grid, ms=40,
+                                 engine="xla")
+    for r, r2 in zip(rf, rx):
+        dop, cp = plants[r.prn]
+        err = abs(r.code_offset - cp)
+        assert min(err, sig.code_length - err) < 1.0, r
+        assert abs(r.doppler - dop) <= 20.0, r
+        assert abs(r.code_offset - r2.code_offset) < 1.0, (r, r2)
+        assert r.doppler == r2.doppler, (r, r2)
+        # both engines hand the tracker the same overlay phase
+        assert (r.track_overlay_phase(sig.code_length)
+                == r2.track_overlay_phase(sig.code_length)), (r, r2)
+    # the two metrics are comparable (each PRN integrated with its own
+    # overlay); a shared-overlay regression would collapse one of them
+    ms_ = sorted(r.metric for r in rf)
+    assert ms_[0] > 0.5 * ms_[1], rf
+
+
+def test_coh_fft_combine_matches_einsum(rng, monkeypatch):
+    """The FFT-over-overlay combine (N >= 25, round 5) must agree with
+    the einsum combine and the XLA engine: same winner, code phase and
+    tracker handoff, on shared AND per-PRN 25-chip overlays."""
+    monkeypatch.setenv("GNSS_DSP_PALLAS_INTERPRET", "1")
+    import dataclasses as _dc
+
+    from gnss_dsp_tpu.models import get_signal
+    from gnss_dsp_tpu.utils.synth import synth_iq
+    from gnss_dsp_tpu.acquire import coherent as coh
+
+    base = get_signal("beidou-b1i")
+    rngo = np.random.default_rng(9)
+    ovls = {p: rngo.choice([-1, 1], 25).astype(np.int8) for p in (5, 34)}
+    sig = _dc.replace(base, secondary=lambda p: ovls[p])
+    n = int(sig.acq_fs * 0.054)
+    x = np.zeros(n, np.complex64)
+    plants = {5: (16.0, 500.0), 34: (-16.0, 1200.0)}
+    for prn, (dop, cp) in plants.items():
+        x += synth_iq(sig.code_table((prn,))[0], sig.chip_rate,
+                      sig.acq_fs, n, doppler_hz=dop, code_phase=cp,
+                      cn0_dbhz=None, carrier_ratio=sig.carrier_ratio,
+                      data_bits=ovls[prn], rng=rng)
+    grid = (-32.0, 33.0, 16.0)
+    rf = coh.acquire_signal_coherent(sig, x, [5, 34], grid, ms=50,
+                                     engine="fused")
+    rx = coh.acquire_signal_coherent(sig, x, [5, 34], grid, ms=50,
+                                     engine="xla")
+    for r, r2 in zip(rf, rx):
+        dop, cp = plants[r.prn]
+        err = abs(r.code_offset - cp)
+        assert min(err, sig.code_length - err) < 1.0, r
+        assert abs(r.doppler - dop) <= 16.0, r
+        assert abs(r.code_offset - r2.code_offset) < 1.0, (r, r2)
+        assert (r.track_overlay_phase(sig.code_length)
+                == r2.track_overlay_phase(sig.code_length)), (r, r2)
