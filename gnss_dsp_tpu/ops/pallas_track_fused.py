@@ -568,7 +568,7 @@ def track_scan_fused(x2, chunk_len, state, params, n_blocks: int,
         state.coffset_p.astype(jnp.int32),
         coffset_df.astype(jnp.int32),
         state.stalled.astype(jnp.int32),
-        jnp.full((C,), 1, jnp.int32) * chunk_len,
+        jnp.broadcast_to(jnp.asarray(chunk_len, jnp.int32), (C,)),
         state.n_full.astype(jnp.int32),
         state.sub_j.astype(jnp.int32),
     ], axis=1)

@@ -627,7 +627,14 @@ def track_scan(x_chunk, chunk_len, code_tab, state: TrackState,
 
     Returns (state, rows_f [n_blocks, C, 11], rows_i [n_blocks, C, 3]);
     rows are NaN/0 once a channel exhausts the chunk (host refills and
-    re-enters)."""
+    re-enters).
+
+    chunk_len: scalar, or [C] i32 PER-CHANNEL data ends (round 5) — the
+    single-program multi-band receiver packs each band's stream into
+    its own segment of one device chunk and gives every channel its
+    band's segment end."""
+    chunk_len = jnp.broadcast_to(jnp.asarray(chunk_len, jnp.int32),
+                                 state.block.shape)
     if ratios is None:
         ratios = jnp.full(state.block.shape, params.carrier_ratio,
                           jnp.float32)
@@ -664,10 +671,10 @@ def track_scan(x_chunk, chunk_len, code_tab, state: TrackState,
                 coffset_df, sigp=sigp)
         else:
             new, row_f, row_i = jax.vmap(
-                lambda s, ct, r, so, cdf, spr: _track_block(
-                    x_chunk, chunk_len, ct, r, s, params, s_ovl=so,
+                lambda s, cl, ct, r, so, cdf, spr: _track_block(
+                    x_chunk, cl, ct, r, s, params, s_ovl=so,
                     coffset_df=cdf, sp=spr)
-            )(st, code_tab, ratios, s_ovl, coffset_df, sigp)
+            )(st, chunk_len, code_tab, ratios, s_ovl, coffset_df, sigp)
         return new, (row_f, row_i)
 
     state, (rows_f, rows_i) = jax.lax.scan(step, state, None, length=n_blocks)

@@ -86,9 +86,56 @@ def validate(rows_text: str, band: int, seconds: float):
     return fails
 
 
+def run_one_program(bands_paths, seconds, chunk_ms, repeat):
+    """All 11 channels of all 3 bands in ONE compiled program
+    (track/receiver.py): per-band segments of one device chunk,
+    per-channel segment ends."""
+    from gnss_dsp_tpu.models import get_signal
+    from gnss_dsp_tpu.track.driver import TrackChannel
+    from gnss_dsp_tpu.track.receiver import track_receiver
+
+    best = np.inf
+    for rep in range(repeat):
+        bands = []
+        for b in (1, 2, 3):
+            sigs = [get_signal(s) for s, *_ in BANDS[b]]
+            chans = [TrackChannel(prn=p, doppler=d, code_offset=c)
+                     for _, p, d, c, _co in BANDS[b]]
+            bands.append((open(bands_paths[b], "rb"), sigs, chans,
+                          [co for *_x, co in BANDS[b]]))
+        t0 = time.perf_counter()
+        out = track_receiver(bands, FS, chunk_ms=chunk_ms)
+        wall = time.perf_counter() - t0
+        best = min(best, wall)
+        print(f"  ALL bands, ONE program (11 ch): {wall:7.1f} s "
+              f"= {seconds / wall:5.2f}x realtime "
+              f"[{11 * FS * seconds / wall / 1e6:6.0f} Msamples/s "
+              f"incl. host I/O]")
+    fails = []
+    k = 0
+    for b in (1, 2, 3):
+        for (s, p, dop, *_1) in BANDS[b]:
+            rows = out[k].rows
+            tail = rows[-200:]
+            cf = np.median([r["carrier_f"] for r in tail])
+            pr = np.median([r["prompt"] for r in tail])
+            el = np.median([max(r["early"], r["late"]) for r in tail])
+            ok = (len(rows) >= seconds * 1000 * 0.9
+                  and abs(cf - dop) < 8.0 and pr > el)
+            print(f"    {s}:{p:<4d} rows {len(rows):6d} carrier "
+                  f"{cf:9.2f} (want {dop:7.1f}) "
+                  f"P/EL {pr / max(el, 1e-9):.2f} "
+                  f"{'OK' if ok else 'FAIL'}")
+            if not ok:
+                fails.append(f"{s}:{p}")
+            k += 1
+    return best, fails
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     repeat = 2 if "--repeat" in " ".join(sys.argv) else 1
+    one_program = "--one-program" in sys.argv
     data = args[0] if args else "/tmp/gnss-sky-10s.pcap"
     seconds = float(args[1]) if len(args) > 1 else 10.0
     chunk_ms = 2000.0
@@ -113,6 +160,17 @@ def main():
     t0 = time.perf_counter()
     bands = demux_bands(data, dest)
     t_demux = time.perf_counter() - t0
+
+    if one_program:
+        best, fails = run_one_program(bands, seconds, chunk_ms, repeat)
+        print(f"\n== {seconds:.1f} s, ONE program, 11 channels ==")
+        print(f"wall {best:.1f} s = {seconds / best:.2f}x realtime incl. "
+              f"host I/O")
+        if fails:
+            print("FAILURES:", fails)
+            sys.exit(1)
+        print("ALL channels held lock to the last rows")
+        return
 
     walls = {}
     fails = []
