@@ -89,7 +89,10 @@ def test_kernel_matches_oracle(sub, stream, v2, rng):
                                 int(np.ceil((n_tiles + 1) * ptk.TILE * cf)) + 2)
 
     si = np.zeros((C, 9), np.int32)
-    sf = np.zeros((C, 4), np.float32)
+    # 8 lanes: fr_e/p/l, cf, then the runtime subcarrier lanes a0/a1/a6
+    # + the round-5 TMBOC slot gate (tm) — the "tmboc" kernel kind reads
+    # them (zero coefficients + tm=1 is exactly the static TMBOC blend)
+    sf = np.zeros((C, 8), np.float32)
     oracle_out = np.zeros((C, 6))
     for c in range(C):
         code_p = float(rng.uniform(0, L))
@@ -114,6 +117,8 @@ def test_kernel_matches_oracle(sub, stream, v2, rng):
         si[c, 7] = as_i32(ph0b)
         si[c, 8] = ptr
         sf[c, 3] = np.float32(cf)
+        if sub == "tmboc":
+            sf[c, 7] = 1.0
         oracle_out[c] = oracle(xs[ptr:ptr + nv].copy(), code, code_p, cf, el,
                                ph0a, dpha, ph0b, dphb, nv, sub)
 
