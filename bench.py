@@ -367,6 +367,10 @@ _CPU_TRACK_SAMPLES_S_FAMILY = {
     "gps-l2cl": 8.9e6,
     "glonass-l1-p": 25.2e6,
     "beidou-b1i-coh": 30.8e6,
+    # the 2017 workload's NATIVE 69.984 MHz rate: the 1 ms blocks are
+    # 69984 samples, so the vectorized-numpy baseline falls out of L2
+    # (1.1 MB complex128 per temporary) — best-of-3 measured
+    "gps-l1-hr": 19.1e6,
 }
 _CPU_TRACK_SAMPLES_S = _CPU_TRACK_SAMPLES_S_FAMILY["gps-l1"]
 
@@ -629,6 +633,37 @@ def bench_tracking_fused(C=32, NB=900):
     }
 
 
+def bench_tracking_native_rate(NB=2000):
+    """BPSK tracking at the 2017 workload's NATIVE 69.984 MHz rate
+    (tools/bench_receiver_scan.py): 12 GPS L1 channels, one fused
+    program, device-resident input — the RATE complement of the
+    receiver_band1 row (which runs the full streaming path and asserts
+    locks on planted seeds).  At the native rate the per-block loop
+    costs amortize over 69 tiles/block, so this is the honest
+    receiver-scale BPSK number (the 4.096 MHz family rows are
+    block-latency-bound at ~4 tiles/block)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    import bench_receiver_scan as brs
+
+    best = brs.run_one("bench", [("gps-l1", 1 + k) for k in range(12)],
+                       NB, reps=3, quiet=True)
+    rate = 12 * brs.FS * (NB * 1e-3) / best / 1e6
+    denom = _CPU_TRACK_SAMPLES_S_FAMILY["gps-l1-hr"]
+    return {
+        "metric": "gps_l1_tracking_msamples_per_s_native_rate",
+        "value": round(rate, 1),
+        "unit": f"Msamples/s aggregate (12 ch x {NB} blocks @ 69.984 "
+                f"MHz — the workload's native rate — fused whole-loop "
+                f"kernel; vs the same-rate CPU semantics at "
+                f"{denom / 1e6:.1f} Msamples/s)",
+        "vs_baseline": round(rate * 1e6 / denom, 2),
+    }
+
+
 def bench_receiver_band1(seconds=1.0):
     """Sustained mixed-constellation receiver on real-rate data (round
     5): 1 s of the 69.984 MHz sky band 1 (GPS L1 + GLONASS L1 + Galileo
@@ -769,6 +804,7 @@ def main():
     for fam in ("beidou-b1i", "galileo-e1b", "gps-l1cp", "gps-l2cm",
                 "gps-l2cl", "glonass-l1-p"):
         print(json.dumps(bench_tracking_family(fam)), flush=True)
+    print(json.dumps(bench_tracking_native_rate()), flush=True)
     print(json.dumps(bench_receiver_band1()), flush=True)
 
     sig = get_signal("gps-l1")

@@ -66,6 +66,24 @@ def track_receiver(bands, fs: float, loop_dwells=(500, 500),
         coffsets += list(bco)
         band_of += [b] * len(bc)
     B = len(bands)
+    n_emit = len(channels)
+    # pad the channel list to a multiple of 4 with clones of channel 0
+    # so the fused kernel groups KCH = 4 channels per grid step (11
+    # channels would force KCH = 1 — one channel per step, no
+    # instruction-stream interleaving); clone rows are never emitted
+    pad = (-len(channels)) % 4
+    if pad:
+        c0 = channels[0]
+        from gnss_dsp_tpu.track.driver import TrackChannel as _TC
+
+        channels = channels + [
+            _TC(prn=c0.prn, doppler=c0.doppler,
+                code_offset=c0.code_offset,
+                carrier_phase=c0.carrier_phase,
+                pll_from_start=c0.pll_from_start) for _ in range(pad)]
+        sigs = sigs + [sigs[0]] * pad
+        coffsets = coffsets + [coffsets[0]] * pad
+        band_of = band_of + [band_of[0]] * pad
     C = len(channels)
 
     use_pallas = (_pallas_ok(sigs[0], fs)
@@ -164,6 +182,8 @@ def track_receiver(bands, fs: float, loop_dwells=(500, 500),
                 if nn == 0:
                     continue
                 any_row = True
+                if k >= n_emit:          # KCH-padding clone of channel 0
+                    continue
                 ch.samp += nn
                 ch.carrier_cyc += int(rows_i[blk, k, 1])
                 ch.code_cyc += int(rows_i[blk, k, 2])
@@ -259,4 +279,4 @@ def track_receiver(bands, fs: float, loop_dwells=(500, 500),
         print(f"[track_receiver timing] read-wait {t_read:.2f} s  "
               f"upload+convert {t_up:.2f} s  scan+rows {t_scan:.2f} s",
               file=_sys.stderr)
-    return channels
+    return channels[:n_emit]

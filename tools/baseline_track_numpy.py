@@ -66,6 +66,11 @@ FAMILIES = {
     "gps-l2cl":      (4.096e6, 511.5e3, 767250, 1500, "rz_odd", 32, 0.5),
     "glonass-l1-p":  (12.288e6, 5.11e6, 5110000, 1000, "bpsk", 8, 0.5),
     "beidou-b1i-coh": (8.192e6, 2.046e6, 2046, 1, "bpsk", 32, 0.5),
+    # the 2017 workload's NATIVE rate (Makefile: 69.984 MHz capture):
+    # per-sample semantics identical to gps-l1, 17x more samples per
+    # 1 ms block — the receiver-rate denominator (fewer per-block
+    # overheads per sample for BOTH CPU and TPU)
+    "gps-l1-hr": (69.984e6, 1.023e6, 1023, 1, "bpsk", 12, 0.05),
 }
 
 
