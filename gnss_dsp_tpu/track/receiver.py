@@ -17,8 +17,9 @@ channels); packed into ONE program it is 11 -> 12, one dispatch chain,
 one readback per chunk — the difference between ~1.45x and >2x realtime
 device-side for the full workload (BASELINE.md round-5 receiver table).
 
-Scope v1: non-coherent tracking, no recovery/checkpoint/mesh (use the
-per-band `track multi` programs for those compositions).
+Scope: tracking incl. per-channel extended-coherent spans (the
+overlay/coh sigp lanes ride along, round 5); no recovery/checkpoint/
+mesh (use the per-band `track multi` programs for those).
 
 Setup mirrors track/driver.track_file's multi branch (runtime sigp
 lanes, shape envelope, per-channel code rows); the streaming loop is
@@ -46,13 +47,18 @@ from gnss_dsp_tpu.utils.twofloat import tf_from_f64
 
 def track_receiver(bands, fs: float, loop_dwells=(500, 500),
                    chunk_ms: float = 2000.0, emit=None,
-                   max_blocks: int | None = None):
+                   max_blocks: int | None = None,
+                   coherent_blocks: int = 1):
     """Track every channel of every band in ONE compiled program.
 
     bands: list of (fp, sigs, channels, coffsets) — one entry per band
     stream (fp: binary int8 I/Q stream; sigs/channels/coffsets: same
     per-channel contracts as track_file's multi mode).  All bands share
     one sample rate `fs`.
+
+    coherent_blocks: extended-coherent span per channel, track_file
+    semantics (-1 = each signal's own overlay length; overlay-free
+    signals stay non-coherent; channels use their overlay_phase).
 
     emit(global_channel_index, row) as in track_file; returns the flat
     channel list (band-major order).  Rows accumulate on the channels
@@ -86,12 +92,30 @@ def track_receiver(bands, fs: float, loop_dwells=(500, 500),
         band_of = band_of + [band_of[0]] * pad
     C = len(channels)
 
+    # per-channel coherent spans (track_file semantics)
+    def _ovl_len(s):
+        return (len(s.secondary(1)) if s.secondary is not None else 1)
+
+    def _chan_M(s):
+        if coherent_blocks == -1:
+            return max(_ovl_len(s), 1)
+        return int(coherent_blocks)
+
+    if coherent_blocks == -1 or coherent_blocks > 1:
+        for s in sigs:
+            if _chan_M(s) > 1:
+                assert s.sub_blocks == 1, (s.name, s.sub_blocks)
+        coh_static = max(_chan_M(s) for s in sigs)
+    else:
+        coh_static = 1
+
     use_pallas = (_pallas_ok(sigs[0], fs)
                   and not os.environ.get("GNSS_DSP_NO_FUSED"))
     alls = [make_params(s, fs, 0.0, loop_dwells,
                         pll_from_start=all(c.pll_from_start
                                            for c in channels),
-                        use_pallas=use_pallas) for s in sigs]
+                        use_pallas=use_pallas,
+                        coherent_blocks=coh_static) for s in sigs]
     params = alls[0]._replace(
         nmax=max(q.nmax for q in alls),
         pallas_tiles=max(q.pallas_tiles for q in alls),
@@ -110,6 +134,27 @@ def track_receiver(bands, fs: float, loop_dwells=(500, 500),
                         str(s.subcarrier))
 
     sigp = jnp.asarray(np.stack([_row(s) for s in sigs]))
+    overlay = None
+    if coh_static > 1:
+        from gnss_dsp_tpu.track.engine import (
+            SIGP_COH as _SIGP_COH, SIGP_NOV as _SIGP_NOV)
+
+        secs = []
+        for s, ch in zip(sigs, channels):
+            sec = (s.secondary(ch.prn)
+                   if _chan_M(s) > 1 and s.secondary is not None
+                   else np.ones(1, np.int8))
+            secs.append(np.roll(np.asarray(sec, np.float32),
+                                -int(ch.overlay_phase)))
+        nov_max = max(len(r) for r in secs)
+        ovl = np.zeros((C, nov_max), np.float32)
+        for k, r in enumerate(secs):
+            ovl[k, :len(r)] = r
+        overlay = jnp.asarray(ovl)
+        sigp = sigp.at[:, _SIGP_COH].set(
+            jnp.asarray([_chan_M(s) for s in sigs], jnp.float32))
+        sigp = sigp.at[:, _SIGP_NOV].set(
+            jnp.asarray([len(r) for r in secs], jnp.float32))
     kinds = {subc_kind(str(s.subcarrier)) for s in sigs}
     kind = "subc" if kinds - {"none"} else "none"
     if "tmboc" in kinds:
@@ -248,7 +293,7 @@ def track_receiver(bands, fs: float, loop_dwells=(500, 500),
         state, rows_f, rows_i = track_scan(
             x_dev, chunk_end, code_tab, state, params, nb,
             ratios=ratios, code_rows_ext=code_rows_ext,
-            coffset_df=coffset_df, sigp=sigp)
+            coffset_df=coffset_df, sigp=sigp, overlay=overlay)
         emitted_any = emit_rows(rows_f, rows_i, nb)
         if timing:
             t_scan += time.perf_counter() - t0
