@@ -37,7 +37,63 @@ def _deinterleave_dev(a, p: int):
     return re, im
 
 
+def _deint4_dev(a, p: int, scale: float):
+    # one packed byte per sample: I in the high nibble, Q in the low,
+    # each 4-bit two's complement ((v ^ 8) - 8 sign-extends)
+    u = a.astype(jnp.int32) & 255
+    i4 = ((jnp.right_shift(u, 4) & 15) ^ 8) - 8
+    q4 = ((u & 15) ^ 8) - 8
+    re = i4.astype(jnp.float32) * jnp.float32(scale)
+    im = q4.astype(jnp.float32) * jnp.float32(scale)
+    if p:
+        re = jnp.pad(re, (0, p))
+        im = jnp.pad(im, (0, p))
+    return re, im
+
+
 _deinterleave_jit = None
+_deint4_jit = None
+
+
+_PACK4_LUT = None
+
+
+def pack_int4_host(raw_int8: np.ndarray) -> np.ndarray:
+    """Interleaved int8 I/Q -> one packed byte per sample (4-bit I/Q):
+    v4 = round(v/8) clipped to +-7.  At the synthetic captures' AGC
+    level (noise sigma ~25 int8 counts -> ~3.1 four-bit counts) this is
+    the classic coarse-quantization GNSS front end (~0.2-0.5 dB C/N0
+    loss); it HALVES the host-link bytes vs raw int8
+    (GNSS_DSP_UPLOAD_INT4 on the streaming/receiver paths).
+
+    Implemented as a 256-entry byte LUT: the arithmetic form promotes
+    280 MB chunks to int16 and measured 39.5 s/chunk-band on this host
+    — slower than the tunnel bytes it saves."""
+    global _PACK4_LUT
+    if _PACK4_LUT is None:
+        v = np.arange(256, dtype=np.uint8).view(np.int8).astype(np.int16)
+        _PACK4_LUT = (np.clip((v + 4) >> 3, -7, 7) & 15).astype(np.uint8)
+    nib = _PACK4_LUT[raw_int8.view(np.uint8)]
+    return (nib[0::2] << 4 | nib[1::2]).astype(np.uint8)
+
+
+def from_int4_iq(packed, pad: int = 0, scale: float = 8.0) -> C:
+    """Packed 4-bit I/Q (pack_int4_host) -> split-complex f32 on device:
+    1 byte/sample over the host link (4x less than the old f32-pair
+    route, 2x less than int8).  scale restores the int8 amplitude range
+    so correlator magnitudes stay comparable."""
+    global _deint4_jit
+    if _deint4_jit is None:
+        import functools
+
+        import jax
+
+        _deint4_jit = functools.partial(
+            jax.jit, static_argnames=("p", "scale"))(_deint4_dev)
+    if isinstance(packed, (bytes, bytearray, memoryview)):
+        packed = np.frombuffer(packed, np.uint8)
+    d = jnp.asarray(np.ascontiguousarray(packed))
+    return _deint4_jit(d, int(pad), float(scale))
 
 
 def from_int8_iq(raw, pad: int = 0) -> C:

@@ -620,7 +620,13 @@ def track_file(sig, fp, fs: float, coffset: float, channels,
         # values bit-identical to the old host-deinterleave route
         t0 = _time.perf_counter()
         tail = pad_extra + (-(nbuf + pad_extra)) % 1024
-        x_dev = _cplx.from_int8_iq(buf, pad=tail)
+        if os.environ.get("GNSS_DSP_UPLOAD_INT4"):
+            # opt-in 4-bit front end (1 B/sample on the host link; see
+            # cplx.pack_int4_host for the quantization budget)
+            x_dev = _cplx.from_int4_iq(_cplx.pack_int4_host(buf),
+                                       pad=tail)
+        else:
+            x_dev = _cplx.from_int8_iq(buf, pad=tail)
         if timing:
             np.asarray(x_dev[0][:1])          # force the upload chain
             t_up += _time.perf_counter() - t0

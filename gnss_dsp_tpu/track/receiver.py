@@ -281,7 +281,12 @@ def track_receiver(bands, fs: float, loop_dwells=(500, 500),
         assembled = np.zeros(2 * B * seg_cap, np.int8)
         for b in range(B):
             assembled[2 * seg_off[b]:2 * seg_off[b] + len(bufs[b])] = bufs[b]
-        x_dev = cplx.from_int8_iq(assembled)
+        if os.environ.get("GNSS_DSP_UPLOAD_INT4"):
+            # opt-in 4-bit front end: halves the host-link bytes again
+            # (1 B/sample) at the classic coarse-quantization C/N0 cost
+            x_dev = cplx.from_int4_iq(cplx.pack_int4_host(assembled))
+        else:
+            x_dev = cplx.from_int8_iq(assembled)
         chunk_end = jnp.asarray(
             np.array([seg_off[band_of[k]] + nbufs[band_of[k]]
                       for k in range(C)], np.int32))

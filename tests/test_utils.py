@@ -110,3 +110,48 @@ def test_synth_iq_chunked_continuation_exact():
     full = synth_iq(code, n=4096 * 4, **kw)
     parts = [synth_iq(code, n=4096, t0=k * 4096, **kw) for k in range(4)]
     np.testing.assert_array_equal(full, np.concatenate(parts))
+
+
+def test_int4_pack_unpack_roundtrip():
+    """pack_int4_host + from_int4_iq: device values = 8*clip(round(v/8))
+    of the int8 stream, exactly."""
+    import numpy as np
+
+    from gnss_dsp_tpu.ops import cplx
+
+    rng = np.random.default_rng(3)
+    raw = rng.integers(-127, 128, 4096, dtype=np.int16).astype(np.int8)
+    re, im = cplx.from_int4_iq(cplx.pack_int4_host(raw), pad=4)
+    v4 = np.clip((raw.astype(np.int16) + 4) >> 3, -7, 7).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(re)[:2048], 8.0 * v4[0::2])
+    np.testing.assert_array_equal(np.asarray(im)[:2048], 8.0 * v4[1::2])
+    assert np.asarray(re)[2048:].sum() == 0
+
+
+def test_int4_streaming_tracks(monkeypatch):
+    """GNSS_DSP_UPLOAD_INT4 on the streaming path still locks (the
+    4-bit front end costs ~0.2-0.5 dB, not lock)."""
+    import io
+
+    import numpy as np
+
+    from gnss_dsp_tpu.models import get_signal
+    from gnss_dsp_tpu.track.driver import TrackChannel, track_file
+    from gnss_dsp_tpu.utils import synth
+
+    monkeypatch.setenv("GNSS_DSP_UPLOAD_INT4", "1")
+    sig = get_signal("gps-l1")
+    fs = 4.096e6
+    prn, dop, cp = 7, 1200.0, 300.0
+    n = int(fs * 0.4)
+    x = synth.synth_iq(sig.code_table((prn,))[0].astype(np.float64),
+                       sig.chip_rate, fs, n, doppler_hz=dop,
+                       code_phase=cp, cn0_dbhz=45.0,
+                       carrier_ratio=1540.0, rng=np.random.default_rng(5))
+    sigma = np.sqrt(fs / (2 * 10 ** 4.5))
+    data = synth.to_int8_iq(x, scale=100.0 / (4 * sigma))
+    ch = TrackChannel(prn=prn, doppler=dop + 30.0, code_offset=cp)
+    track_file(sig, io.BytesIO(data), fs, 0.0, [ch],
+               loop_dwells=(60, 60), chunk_ms=150.0)
+    cf = np.median([r["carrier_f"] for r in ch.rows[-100:]])
+    assert abs(cf - dop) < 5.0, cf
