@@ -357,6 +357,13 @@ def _prep_fused_codes(cf_host, plan):
     return pa.permute_host(cf_host)
 
 
+# device-resident code-FFT LRU for the one-shot path (round 5); see
+# acquire_signal.  ~5-26 MB per entry (B1I 37x16384 f32 pair .. E1B
+# 50x65536), capped.
+_CODE_FFTS_DEV: dict = {}
+_CODE_FFTS_CAP = 4
+
+
 def acquire_signal(sig, x_int, prns, doppler_search=None, ms: int = 80,
                    chan: int = 0, dop_chunk: int | None = None,
                    precision=jax.lax.Precision.HIGHEST, bf16: bool = False,
@@ -395,13 +402,22 @@ def acquire_signal(sig, x_int, prns, doppler_search=None, ms: int = 80,
     valid = np.zeros(Dp, bool)
     valid[: len(fixed)] = True
 
-    cf_host = build_code_ffts(sig, prns, n, window_t)
-    if plan:
-        cf_host = _prep_fused_codes(cf_host, plan)
-        fused_bt = _fused_bt(plan, window, blocks, len(prns))
-    else:
-        fused_bt = 0
-    code_ffts = cplx.from_numpy(cf_host)
+    # device-resident code-FFT LRU (round 5): repeated acquire calls on
+    # the same (signal, prns, plan) — continuous receivers, sensitivity
+    # sweeps, the CLI's warm path — skip the host FFT build AND the
+    # code upload (the dominant one-shot costs after the compile cache)
+    key = (sig.name, tuple(prns), n, window_t,
+           tuple(plan[:3]) if plan else None)
+    code_ffts = _CODE_FFTS_DEV.pop(key, None)
+    if code_ffts is None:
+        cf_host = build_code_ffts(sig, prns, n, window_t)
+        if plan:
+            cf_host = _prep_fused_codes(cf_host, plan)
+        code_ffts = cplx.from_numpy(cf_host)
+    _CODE_FFTS_DEV[key] = code_ffts            # re-insert = MRU
+    while len(_CODE_FFTS_DEV) > _CODE_FFTS_CAP:
+        _CODE_FFTS_DEV.pop(next(iter(_CODE_FFTS_DEV)))
+    fused_bt = _fused_bt(plan, window, blocks, len(prns)) if plan else 0
     x = cplx.from_numpy(x_int) if not isinstance(x_int, tuple) else x_int
     metric, code_idx, dop_idx = grid_search(
         x, code_ffts, jnp.asarray(fixed_p), jnp.asarray(valid),
