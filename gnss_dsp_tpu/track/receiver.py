@@ -36,8 +36,7 @@ import jax.numpy as jnp
 
 from gnss_dsp_tpu.ops import cplx, nco
 from gnss_dsp_tpu.track.driver import (
-    _PrefetchReader, _STREAM_CODE_CHIPS, _pallas_ok, build_code_rows,
-    make_params,
+    _PrefetchReader, _pallas_ok, build_code_rows, make_params,
 )
 from gnss_dsp_tpu.track.engine import (
     init_state, sigp_row, subc_kind, track_scan,
