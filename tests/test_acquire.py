@@ -70,3 +70,37 @@ def test_acquisition_matches_reference_search_numerics():
     assert res.doppler == m_dop
     assert abs(res.code_offset - m_code) < 1e-6
     assert abs(res.metric - m_metric) / m_metric < 0.02
+
+
+def test_code_fft_device_cache_same_results():
+    """The round-5 device-resident code-FFT LRU must not change
+    results: two identical acquire_signal calls (2nd = cache hit) and a
+    cache-cleared call all agree exactly."""
+    import numpy as np
+
+    from gnss_dsp_tpu.acquire import engine as eng
+    from gnss_dsp_tpu.models import get_signal
+    from gnss_dsp_tpu.utils.synth import synth_iq
+
+    sig = get_signal("gps-l1")
+    import dataclasses
+
+    sig = dataclasses.replace(sig, acq_fs=1.024e6, acq_lowpass_hz=0.4e6)
+    n = int(sig.acq_fs * 0.014)
+    x = synth_iq(sig.code_table((7,))[0], sig.chip_rate, sig.acq_fs, n,
+                 doppler_hz=1000.0, code_phase=123.0, cn0_dbhz=None,
+                 carrier_ratio=sig.carrier_ratio)
+    eng._CODE_FFTS_DEV.clear()
+    kw = dict(doppler_search=(-2000.0, 2000.0, 500.0), ms=8)
+    a = eng.acquire_signal(sig, x, [7, 9], **kw)
+    assert len(eng._CODE_FFTS_DEV) == 1
+    b = eng.acquire_signal(sig, x, [7, 9], **kw)     # cache hit
+    eng._CODE_FFTS_DEV.clear()
+    c = eng.acquire_signal(sig, x, [7, 9], **kw)     # rebuilt
+    for r1, r2 in zip(a, b):
+        assert (r1.prn, r1.doppler, r1.metric, r1.code_offset) == \
+               (r2.prn, r2.doppler, r2.metric, r2.code_offset)
+    for r1, r2 in zip(a, c):
+        assert (r1.prn, r1.doppler, r1.metric, r1.code_offset) == \
+               (r2.prn, r2.doppler, r2.metric, r2.code_offset)
+    assert abs(a[0].doppler - 1000.0) <= 500.0
