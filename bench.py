@@ -165,10 +165,15 @@ def bench_acquire_signal(name, prn, prns, dops, ms, subcarrier="none"):
                  carrier_ratio=sig.track_carrier_ratio(0),
                  code_doppler_hz=1500.0, rng=np.random.default_rng(3))
     run = acquire_signal_fdma if sig.fdma_hz else acquire_signal
-    for rep in range(2):
+    # best-of-3 warm reps: the one-shot rows carry per-dispatch tunnel
+    # RTTs, which this rig's weather varied 10x within one evening —
+    # best-of resists that without changing what is measured
+    dt = float("inf")
+    for rep in range(3):
         t0 = time.perf_counter()
         res = run(sig, x, prns, doppler_search=dops, ms=ms)
-        dt = time.perf_counter() - t0
+        if rep:
+            dt = min(dt, time.perf_counter() - t0)
     hit = [r for r in res if r.prn == prn][0]
     assert abs(hit.doppler - 1500.0) <= dops[2], (name, hit)
     assert all(r.metric <= hit.metric for r in res), (name, hit)
@@ -396,11 +401,13 @@ def bench_acquire_coherent(name="gps-l5i", m_coh=None,
                  code_doppler_hz=1500.0, data_bits=sec,
                  rng=np.random.default_rng(3))
     prns = list(range(1, 33))
-    for rep in range(2):
+    dt = float("inf")
+    for rep in range(3):
         t0 = time.perf_counter()
         res = acquire_signal_coherent(sig, x, prns, dops_cfg, m_coh=m,
                                       ms=ms)
-        dt = time.perf_counter() - t0
+        if rep:
+            dt = min(dt, time.perf_counter() - t0)
     hit = [r for r in res if r.prn == 25][0]
     assert abs(hit.doppler - 1500.0) <= dops_cfg[2], (name, hit)
     assert all(r.metric <= hit.metric for r in res), (name, hit)
